@@ -1,0 +1,103 @@
+"""Benchmark CLI — one JSON line for the driver.
+
+Headline metric: permutohedral-lattice mean-field CRF iterations per second
+per chip on the Tsukuba-scale flagship config (384×288 px, 16 labels, 5-D
+bilateral guide, 5 mean-field iterations) — the reference's canonical
+pipeline (`Experiments/DenseCrf.ipynb`; `benchmarking.ipynb` times exactly
+this fwd pass, unpublished — SURVEY.md §6).
+
+`vs_baseline`: the reference publishes no numbers for the CRF pipeline
+(BASELINE.json.published == {}), so we report speedup against this repo's
+own dense O(n²) oracle executing the mathematically identical mean-field
+update on the same device — the honest stand-in for the reference's
+"brute-force vs lattice" trade (`crf/crf_module.py:8-20` vs lattice path).
+
+Usage: python bench.py [--device cpu|tpu] [--labels L] [--iters N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None, help="force jax platform")
+    ap.add_argument("--labels", type=int, default=16)
+    ap.add_argument("--niters", type=int, default=5)
+    ap.add_argument("--h", type=int, default=288)
+    ap.add_argument("--w", type=int, default=384)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--dense-baseline", action="store_true",
+                    help="also time the dense O(n²) oracle for vs_baseline")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.models.pipeline import CRFStereoConfig, crf_stereo_infer
+    from depth_estimation_tpu.data.datasets import TsukubaPair
+
+    h, w = args.h, args.w
+    cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters, backend="lattice")
+
+    tsu = TsukubaPair()
+    if tsu.available() and (h, w) == (288, 384):
+        item = tsu.load()
+        left = jnp.asarray(item["left"], jnp.float32)
+        right = jnp.asarray(item["right"], jnp.float32)
+    else:
+        rng = np.random.RandomState(0)
+        left = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+        right = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+
+    fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
+    out = fn(left, right)
+    jax.block_until_ready(out)  # compile
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = fn(left, right)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.reps
+    iters_per_s = args.niters / dt
+
+    vs_baseline = None
+    if args.dense_baseline:
+        dense_cfg = CRFStereoConfig(
+            num_disp=args.labels, niters=args.niters, backend="dense"
+        )
+        fnd = jax.jit(lambda l, r: crf_stereo_infer(l, r, dense_cfg)["disparity"])
+        outd = fnd(left, right)
+        jax.block_until_ready(outd)
+        t0 = time.perf_counter()
+        outd = fnd(left, right)
+        jax.block_until_ready(outd)
+        dtd = time.perf_counter() - t0
+        vs_baseline = dtd / dt  # lattice speedup over exact dense oracle
+
+    print(
+        json.dumps(
+            {
+                "metric": "crf_meanfield_iters_per_s",
+                "value": round(iters_per_s, 3),
+                "unit": f"iters/s/chip ({h}x{w}px, L={args.labels}, d=5 bilateral)",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else 1.0,
+                "detail": {
+                    "pipeline_ms": round(dt * 1e3, 3),
+                    "device": str(jax.devices()[0]),
+                    "niters": args.niters,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Guidance feature extractors (CNN features for CRF edge weights).
+
+Capability replacement for the reference's VGG16 slice extractor
+(`crf/features.py` — relu1_2/2_2/3_3/4_3 activations zoomed back to image
+resolution and concatenated). A pretrained torchvision VGG is neither
+available nor TPU-idiomatic here; instead:
+
+- `FeatureCNN`: a compact multi-scale conv net (bf16-friendly, GroupNorm)
+  whose stage activations are resized to input resolution and concatenated,
+  then projected to `out_dim` — the same (h, w, 64) guidance-tensor contract
+  the reference models consume (`CRFdepthRefiner(d_in=64, ...)`,
+  `crf/mb_stereo_crf.py:68-79`).
+- `random_features`: seeded random-projection + whitening of local patches
+  (`get_random_features`, `crf/features.py:61-67`) — a training-free
+  deterministic fallback used by tests.
+
+Channels-last (h, w, c); batched via vmap or leading batch dim.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FeatureCNN", "extract_features", "random_features"]
+
+
+class FeatureCNN(nn.Module):
+    """Multi-scale guidance features: stages at 1×, 1/2×, 1/4×, 1/8× are
+    resized to input resolution, concatenated and 1×1-projected."""
+
+    out_dim: int = 64
+    widths: tuple = (32, 64, 96, 128)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (h, w, 3) -> (h, w, out_dim)
+        h, w = x.shape[:2]
+        feats = []
+        y = x[None]  # NHWC
+        for i, width in enumerate(self.widths):
+            y = nn.Conv(width, (3, 3), padding="SAME")(y)
+            y = nn.GroupNorm(num_groups=8)(y)
+            y = nn.relu(y)
+            y = nn.Conv(width, (3, 3), padding="SAME")(y)
+            y = nn.GroupNorm(num_groups=8)(y)
+            y = nn.relu(y)
+            feats.append(jax.image.resize(y, (1, h, w, width), method="bilinear"))
+            if i < len(self.widths) - 1:
+                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+        cat = jnp.concatenate(feats, axis=-1)
+        out = nn.Conv(self.out_dim, (1, 1))(cat)
+        return out[0]
+
+
+def extract_features(params, img: jax.Array, out_dim: int = 64) -> jax.Array:
+    """Apply a FeatureCNN params pytree to an (h, w, 3) image."""
+    return FeatureCNN(out_dim=out_dim).apply(params, img)
+
+
+def random_features(
+    img: jax.Array, out_dim: int = 16, patch: int = 3, seed: int = 0
+) -> jax.Array:
+    """Seeded random projection of local patches, whitened per channel
+    (`crf/features.py:61-67` semantics: projection + mean/std whitening).
+    Deterministic, training-free guidance features for tests."""
+    h, w, c = img.shape
+    r = patch // 2
+    padded = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+    cols = []
+    for di in range(patch):
+        for dj in range(patch):
+            cols.append(jax.lax.slice(padded, (di, dj, 0), (di + h, dj + w, c)))
+    patches = jnp.concatenate(cols, axis=-1)  # (h, w, patch²·c)
+    key = jax.random.PRNGKey(seed)
+    proj = jax.random.normal(key, (patches.shape[-1], out_dim), img.dtype)
+    proj = proj / jnp.sqrt(jnp.asarray(patches.shape[-1], img.dtype))
+    feats = patches @ proj
+    mean = feats.mean(axis=(0, 1), keepdims=True)
+    std = feats.std(axis=(0, 1), keepdims=True)
+    return (feats - mean) / (std + 1e-6)

@@ -1,0 +1,94 @@
+"""End-to-end dense-CRF stereo pipelines — the canonical inference paths.
+
+Re-creates the reference's flagship notebook pipeline
+(`Experiments/DenseCrf.ipynb` cells 6-12, SURVEY.md §3.1) as single
+jittable functions:
+
+  stereo pair → cost volume (unary E0) → bilateral guide [rgb/σc, ij/σp]
+  → mean-field CRF (message passing = dense oracle | permutohedral lattice)
+  → softmax-expectation disparity decode.
+
+Default hyperparameters follow the notebook: ws=9, Charbonnier γ=3 (the
+`charbonneir2` form), σc=σp=0.1, 5 mean-field iterations, L = w//6 labels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..crf.compat import charbonnier2, compatibility_matrix
+from ..crf.guides import stack_guide
+from ..crf.meanfield import mean_field_infer
+from ..ops.costvolume import cost_volume, expected_disparity
+from ..ops.dense_gaussian import dense_gaussian_filter
+from ..ops.permutohedral import build_plan, apply_plan
+
+__all__ = ["CRFStereoConfig", "stereo_unary", "crf_stereo_infer"]
+
+
+@dataclass(frozen=True)
+class CRFStereoConfig:
+    """Static pipeline hyperparameters (`DenseCrf.ipynb` cell 6)."""
+
+    num_disp: int = 16
+    window_size: int = 9
+    gamma: float = 3.0
+    sigma_color: float = 0.1
+    sigma_pos: float = 0.1
+    niters: int = 5
+    unary_scale: float = 1.0
+    backend: str = "lattice"  # 'lattice' | 'dense'
+    mu_scale: float = 1.0
+
+
+def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
+    """Unary energies (h, w, L) from window-sweep matching.
+
+    NOTE on scales: the reference feeds the RAW aggregated window sums
+    (magnitude ~tens) straight into the CRF (`DenseCrf.ipynb` cell 7) —
+    this balance against the unnormalized lattice message magnitudes is
+    what makes the mean-field fixed point sharp. `unary_scale` defaults to
+    1 (raw)."""
+    vol = cost_volume(left, right, cfg.num_disp, cfg.window_size)
+    return cfg.unary_scale * vol
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
+    """Full pipeline; returns dict with unary/refined disparity + logits.
+
+    The lattice plan is built once from the guide and reused across all
+    mean-field iterations (filter is inference-only here; training goes
+    through `models.refiner`).
+    """
+    h, w, _ = left.shape
+    E0 = stereo_unary(left, right, cfg)
+
+    labels = jnp.arange(cfg.num_disp, dtype=left.dtype)
+    Mu = compatibility_matrix(lambda a, b: charbonnier2(a, b, cfg.gamma), labels)
+    Mu = Mu * cfg.mu_scale
+
+    guide = stack_guide(left, cfg.sigma_color, cfg.sigma_pos)
+    ref = guide.reshape(h * w, -1)
+    E0_flat = E0.reshape(h * w, cfg.num_disp)
+
+    if cfg.backend == "lattice":
+        plan = build_plan(ref)
+        message_fn = lambda Q: apply_plan(plan, Q) - Q
+    elif cfg.backend == "dense":
+        message_fn = lambda Q: dense_gaussian_filter(Q, ref) - Q
+    else:
+        raise ValueError(cfg.backend)
+
+    Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters)
+    disp_crf = expected_disparity(jnp.log(Q + 1e-20)).reshape(h, w)
+    disp_unary = expected_disparity(-E0)
+    return {
+        "disparity": disp_crf,
+        "disparity_unary": disp_unary,
+        "probabilities": Q.reshape(h, w, cfg.num_disp),
+        "unary": E0,
+    }

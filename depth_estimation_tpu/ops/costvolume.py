@@ -1,0 +1,136 @@
+"""Stereo matching cost volumes (unary CRF energies), fully vectorized.
+
+TPU-native replacement for the reference's window-sweep block matching
+(`crf/depth.py:31-53` — a Python loop of `max_disp` shift-and-diff passes
+plus a scipy box convolution). Here the whole sweep is one traced XLA
+program: a single gather-free shift via `lax.dynamic_slice` unrolled over
+static disparities, fused with per-pixel matching cost and a separable
+cumsum box aggregation. O(h·w·c·D) work, bandwidth-bound, no host loops.
+
+Conventions (matching the reference):
+- disparity d means pixel (i, j) in the left image corresponds to
+  (i, j - d) in the right image;
+- out-of-frame comparisons use zero padding (reference pads with zeros at
+  `crf/depth.py:45`);
+- costs are aggregated over a (ws × ws) window with *sum* (not mean),
+  reproducing `scipy.ndimage.convolve(out, ones(ws,ws,1))` semantics in the
+  interior (scipy uses reflect padding; we expose `agg_mode`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .boxfilter import box_filter
+
+__all__ = [
+    "absolute_difference",
+    "squared_difference",
+    "neg_product",
+    "cost_volume",
+    "disparity_badness",
+    "disparity_estimate",
+    "local_contrast_normalize",
+    "expected_disparity",
+]
+
+
+def absolute_difference(a, b):
+    return jnp.abs(a - b)
+
+
+def squared_difference(a, b):
+    return (a - b) ** 2
+
+
+def neg_product(a, b):
+    return -a * b
+
+
+def local_contrast_normalize(img: jax.Array, window: int | None = None, eps: float = 1e-6):
+    """Local (or global) contrast normalization (`crf/depth.py:10-22`)."""
+    if window is None:
+        mean = img.mean(axis=(0, 1), keepdims=True)
+        diff = img - mean
+        std = jnp.sqrt((diff**2).mean(axis=(0, 1), keepdims=True))
+    else:
+        r = window // 2
+        mean = box_filter(box_filter(img, r, 0), r, 1)
+        diff = img - mean
+        std = jnp.sqrt(box_filter(box_filter(diff**2, r, 0), r, 1))
+    return diff / (std + eps)
+
+
+@partial(jax.jit, static_argnames=("num_disp", "window_size", "criterion", "agg_mode"))
+def cost_volume(
+    left: jax.Array,
+    right: jax.Array,
+    num_disp: int,
+    window_size: int = 9,
+    criterion: Callable = absolute_difference,
+    agg_mode: str = "reflect",
+) -> jax.Array:
+    """Aggregated matching cost for disparities 0..num_disp-1.
+
+    Args:
+      left, right: (h, w, c) rectified pair (any float dtype).
+      num_disp: number of disparity hypotheses (static).
+      window_size: aggregation window (ws × ws, sum-aggregated).
+      criterion: per-pixel cost, e.g. `absolute_difference`.
+      agg_mode: 'reflect' matches scipy's convolve boundary; 'zero' is a
+        plain zero-padded window sum (cheaper).
+
+    Returns:
+      (h, w, num_disp) cost volume (the CRF unary energies E0).
+    """
+    h, w, c = left.shape
+    # Shift the right image rightwards by d: pad left edge, slice. All
+    # disparities share one padded buffer; the unrolled slices compile to a
+    # single fused loop over D.
+    padded = jnp.pad(right, ((0, 0), (num_disp, 0), (0, 0)))
+    costs = []
+    for d in range(num_disp):
+        shifted = jax.lax.slice_in_dim(padded, num_disp - d, num_disp - d + w, axis=1)
+        costs.append(criterion(left, shifted).sum(-1))
+    vol = jnp.stack(costs, axis=-1)  # (h, w, D)
+
+    r = window_size // 2
+    if agg_mode == "reflect":
+        # Reflect-pad then zero-padded window sum == scipy reflect conv.
+        vol = jnp.pad(vol, ((r, r), (r, r), (0, 0)), mode="symmetric")
+        vol = box_filter(box_filter(vol, r, 0, normalize=False), r, 1, normalize=False)
+        vol = vol[r:-r, r:-r] if r > 0 else vol
+    else:
+        vol = box_filter(box_filter(vol, r, 0, normalize=False), r, 1, normalize=False)
+    return vol
+
+
+def disparity_badness(
+    left: jax.Array,
+    right: jax.Array,
+    window_size: int = 9,
+    criterion: Callable = absolute_difference,
+    num_disp: int | None = None,
+) -> jax.Array:
+    """Reference-compatible API: sweep over `w // 6` disparities
+    (`crf/depth.py:36-53`)."""
+    if num_disp is None:
+        num_disp = left.shape[1] // 6
+    return cost_volume(left, right, num_disp, window_size, criterion)
+
+
+def disparity_estimate(energy: jax.Array) -> jax.Array:
+    """Winner-take-all disparity: argmin over the label axis."""
+    return jnp.argmin(energy, axis=-1)
+
+
+def expected_disparity(logits: jax.Array, labels: jax.Array | None = None) -> jax.Array:
+    """Softmax-expectation decode of label logits
+    (`crf/mb_stereo_crf.py:62-66`): sum_l softmax(logits)_l · label_l."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    if labels is None:
+        labels = jnp.arange(logits.shape[-1], dtype=logits.dtype)
+    return probs @ labels

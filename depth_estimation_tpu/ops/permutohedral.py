@@ -1,0 +1,501 @@
+"""Permutohedral-lattice high-dimensional Gaussian filtering, XLA-native.
+
+The O(n) approximation to dense Gaussian filtering
+    filter(src, ref)_i = Σ_j exp(-‖ref_i − ref_j‖²/2) · src_j
+(Adams/Baek/Davis 2010), re-designed for TPU/XLA from the reference's
+hash-table C++/CUDA implementations (`crf/lattice/lite/permutohedral.h`,
+`crf/lattice/cuda_lattice/permutohedral.cu`). This is NOT a port: the
+open-addressing hash tables, atomics and replay buffers are replaced by a
+fixed-shape, race-free sort/segment-sum formulation that XLA compiles to
+fused sort + gather/scatter passes:
+
+  plan   = f(ref):  embed → simplex → barycentric  (pure elementwise math,
+           `permutohedral.h:376-461` semantics), then vertex dedup by
+           sorting packed integer keys + segment ids (replaces the hash
+           table, `permutohedral.h:29-169`) and neighbor resolution by
+           binary search (replaces `hashTable.lookup` in the blur,
+           `permutohedral.h:486-548`).
+  apply  = splat (segment_sum) → blur (d+1 gather-axpy passes of the
+           unnormalized [1/2, 1, 1/2] kernel) → slice (gather + barycentric
+           recombine, scaled by 1/(1+2^-d), `permutohedral.h:473-483`).
+
+The init-once/apply-many split mirrors Krähenbühl's `init`/`compute`
+(`crf/lattice/lite/krahenbuhl.cpp:138-320`): the plan depends only on `ref`
+and is reused across label channels, mean-field iterations, and fwd+bwd.
+
+`apply` is linear in `src`; its transpose is the same filter with the blur
+axes traversed in reverse order (`reverse` flag semantics,
+`krahenbuhl.cpp:474-592`). Gradients:
+  - ∂/∂src: transpose filter (symmetric up to blur order) — exact.
+  - ∂/∂ref: analytic 4-filter identity of the reference autograd
+    (`crf/gaussian_matrix.py:447-463`), implemented as one extra filter call
+    of width 2L(d+1) through the same plan, via `jax.custom_vjp`.
+
+Normalization conventions (SURVEY.md §7 "hard parts"): the reference's CPU
+`lite` path does NOT divide by the homogeneous weight; the CRF stack was
+tuned on that convention (`filter(U) − U`). We default to the same
+(`normalize='none'`) and offer `'homogeneous'` (CUDA `permutohedral.cu:
+404-406` semantics) via an appended ones channel.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "PermutohedralPlan",
+    "build_plan",
+    "apply_plan",
+    "lattice_filter",
+    "lattice_adjacency",
+    "simplex_embed",
+]
+
+
+# ---------------------------------------------------------------------------
+# Embedding math (static, per feature-dimension d)
+# ---------------------------------------------------------------------------
+
+
+def _embedding_matrix(d: int) -> np.ndarray:
+    """(d+1, d) matrix E with elevated = E @ position.
+
+    Reproduces the reference recurrence (`permutohedral.h:380-384`) with the
+    scale factors (d+1)·sqrt(2/3)/sqrt((i+1)(i+2)) (`permutohedral.h:354-371`)
+    folded in, by running it on basis vectors. Rows sum to zero.
+    """
+    E = np.zeros((d + 1, d))
+    scale = (d + 1) * math.sqrt(2.0 / 3.0)
+    sf = np.array([scale / math.sqrt((i + 1) * (i + 2)) for i in range(d)])
+    for j in range(d):
+        p = np.zeros(d)
+        p[j] = sf[j]
+        elevated = np.zeros(d + 1)
+        elevated[d] = -d * p[d - 1]
+        for i in range(d - 1, 0, -1):
+            elevated[i] = elevated[i + 1] - i * p[i - 1] + (i + 2) * p[i]
+        elevated[0] = elevated[1] + 2 * p[0]
+        E[:, j] = elevated
+    return E
+
+
+def _canonical_simplex(d: int) -> np.ndarray:
+    """(d+1, d+1) canonical simplex offsets (`permutohedral.h:346-351`):
+    canonical[r, j] = r for j ≤ d−r else r − (d+1)."""
+    c = np.zeros((d + 1, d + 1), dtype=np.int32)
+    for r in range(d + 1):
+        c[r, : d + 1 - r] = r
+        c[r, d + 1 - r :] = r - (d + 1)
+    return c
+
+
+def simplex_embed(ref: jax.Array):
+    """Embed features into the permutohedral hyperplane and locate the
+    enclosing simplex.
+
+    Args:
+      ref: (n, d) feature vectors (the filter approximates a unit-variance
+        Gaussian in this space).
+
+    Returns:
+      keys: (n, d+1, d) int32 lattice coordinates of the d+1 simplex
+        vertices (first d coords; the last is determined by zero-sum).
+      bary: (n, d+1) barycentric weights (sum to 1).
+    """
+    n, d = ref.shape
+    E = jnp.asarray(_embedding_matrix(d), ref.dtype)
+    canonical = jnp.asarray(_canonical_simplex(d))
+
+    elevated = ref @ E.T  # (n, d+1)
+
+    # Greedy nearest multiple-of-(d+1) point (`permutohedral.h:391-402`).
+    v = elevated / (d + 1)
+    up = jnp.ceil(v) * (d + 1)
+    down = jnp.floor(v) * (d + 1)
+    greedy = jnp.where(up - elevated < elevated - down, up, down)
+    greedy = greedy.astype(jnp.int32)
+    coord_sum = jnp.sum(greedy, axis=1) // (d + 1)  # (n,) int
+
+    # Rank of the differential, descending, ties to lower index
+    # (`permutohedral.h:405-411`). O(d²) pairwise comparison — d is small.
+    diff = elevated - greedy  # (n, d+1)
+    gt = diff[:, :, None] < diff[:, None, :]  # [i, j] : diff_i < diff_j
+    idx = jnp.arange(d + 1)
+    tie = (diff[:, :, None] == diff[:, None, :]) & (idx[None, :, None] > idx[None, None, :])
+    rank = (gt | tie).sum(-1).astype(jnp.int32)  # (n, d+1) in 0..d
+
+    # Walk back onto the hyperplane (`permutohedral.h:413-433`).
+    s = coord_sum[:, None]
+    rank_s = rank + s
+    too_high = rank_s >= d + 1
+    too_low = rank_s < 0
+    greedy = jnp.where(too_high, greedy - (d + 1), jnp.where(too_low, greedy + (d + 1), greedy))
+    rank = jnp.where(too_high, rank_s - (d + 1), jnp.where(too_low, rank_s + (d + 1), rank_s))
+
+    # Barycentric coordinates (`permutohedral.h:436-441`): scatter the
+    # sorted differentials into a (d+2)-vector via one-hot sums.
+    t = (elevated - greedy) / (d + 1)  # (n, d+1)
+    oh_lo = jax.nn.one_hot(d - rank, d + 2, dtype=t.dtype)  # bary[d-rank] += t
+    oh_hi = jax.nn.one_hot(d + 1 - rank, d + 2, dtype=t.dtype)  # bary[d+1-rank] -= t
+    bary = jnp.einsum("nk,nkb->nb", t, oh_lo - oh_hi)
+    bary = bary.at[:, 0].add(1.0 + bary[:, d + 1])
+    bary = bary[:, : d + 1]  # (n, d+1)
+
+    # Vertex keys (`permutohedral.h:444-447`): key_r[i] = greedy[i] +
+    # canonical[r, rank[i]], stored for the first d coordinates.
+    can = canonical[:, rank]  # (d+1, n, d+1) — canonical[r, rank[n, i]]
+    keys = greedy[None, :, :d] + jnp.transpose(can, (0, 1, 2))[:, :, :d]
+    keys = jnp.transpose(keys, (1, 0, 2))  # (n, d+1, d)
+    return keys, bary
+
+
+# ---------------------------------------------------------------------------
+# Plan construction: dedup + neighbor resolution
+# ---------------------------------------------------------------------------
+
+
+class PermutohedralPlan(NamedTuple):
+    """Static-shape lattice 'plan' — everything derived from `ref`.
+
+    M = n·(d+1) is the vertex capacity; `num_valid` (traced scalar) counts
+    the actually-occupied slots. Slot M is the zero sentinel for missing
+    neighbors.
+    """
+
+    slot: jax.Array  # (n, d+1) int32 — vertex slot per (pixel, remainder)
+    bary: jax.Array  # (n, d+1) barycentric weights
+    neighbors: jax.Array  # (d+1, M, 2) int32 — blur neighbor slots (M = missing)
+    num_valid: jax.Array  # () int32
+
+    @property
+    def d(self) -> int:
+        # static: derived from array shape, never a traced leaf
+        return self.neighbors.shape[0] - 1
+
+    @property
+    def capacity(self) -> int:
+        return self.neighbors.shape[1]
+
+
+_HASH_MULT = jnp.int32(-1900272385)  # 0x8da6b343 — odd multiplicative mixer
+
+
+def _hash_keys(keys: jax.Array) -> jax.Array:
+    """Multiplicative fold of (…, d) int32 coords → int32 hash.
+
+    Same shape of scheme as the reference's short-key fold
+    (`permutohedral.h:109-116`), 32-bit; quality only affects probe count —
+    every probe verifies the full key by gather+compare.
+    """
+    d = keys.shape[-1]
+    h = jnp.zeros(keys.shape[:-1], jnp.int32)
+    for k in range(d):
+        h = (h + keys[..., k]) * _HASH_MULT
+        h = h ^ (h >> 13)
+    return h
+
+
+_MAX_PROBES = 64  # linear-probe bound; load factor ≤ 0.5 keeps actual ~2
+
+
+def build_plan(ref: jax.Array, max_vertices: int | None = None) -> PermutohedralPlan:
+    """Build the lattice plan from (n, d) reference features. Pure int32.
+
+    All shapes are static. The reference's open-addressing hash table
+    (`permutohedral.h:29-169`) is replaced by two race-free, TPU-friendly
+    mechanisms:
+
+    1. **Dedup**: lexicographic multi-key `lax.sort` of the raw coordinate
+       columns (no 64-bit packing — int32 throughout), segment heads →
+       compacted slot ids.
+    2. **Neighbor resolution**: a read-only linear-probing hash index built
+       by deterministic scatter-min insertion rounds (smallest vertex id
+       wins a slot; losers re-probe — no atomics, same invariant as
+       sequential linear probing), then verified gather probes per blur
+       neighbor (≙ `hashTable.lookup(key, false)` at
+       `permutohedral.h:516-520`).
+
+    Args:
+      max_vertices: static capacity M (default n·(d+1), the worst case).
+        `num_valid` reports actual occupancy; if it exceeds capacity the
+        plan silently drops the overflow (choose capacity accordingly).
+    """
+    n, d = ref.shape
+    keys, bary = simplex_embed(ref)
+    N = n * (d + 1)
+    M = N if max_vertices is None else int(max_vertices)
+    flat_keys = keys.reshape(N, d)
+
+    # --- 1) dedup by lexicographic sort over the d coordinate columns ---
+    iota = jnp.arange(N, dtype=jnp.int32)
+    cols = tuple(flat_keys[:, k] for k in range(d))
+    sorted_ops = jax.lax.sort(cols + (iota,), num_keys=d)
+    sorted_keys = jnp.stack(sorted_ops[:d], axis=-1)  # (N, d)
+    order = sorted_ops[d]
+    row_changed = jnp.any(sorted_keys[1:] != sorted_keys[:-1], axis=-1)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), row_changed])
+    seg_id = (jnp.cumsum(is_head) - 1).astype(jnp.int32)
+    num_valid = seg_id[-1] + 1
+
+    # slot per original (pixel, remainder) entry: invert the sort. Slots
+    # beyond capacity M are redirected to the zero-sentinel row M.
+    seg_id_capped = jnp.where(seg_id < M, seg_id, M)
+    slot_flat = jnp.zeros((N,), jnp.int32).at[order].set(seg_id_capped)
+    slot = slot_flat.reshape(n, d + 1)
+
+    # Unique key coordinates, compacted to slot order (sentinel rows at
+    # int32 max keep them out of any hash bucket's way).
+    sentinel = jnp.iinfo(jnp.int32).max
+    scatter_rows = jnp.where(is_head & (seg_id < M), seg_id, M)
+    unique_keys = jnp.full((M, d), sentinel, jnp.int32).at[
+        scatter_rows[:, None], jnp.arange(d)[None, :]
+    ].set(sorted_keys, mode="drop")
+
+    # --- 2) hash index over unique keys ---
+    T = 1 << max(1, (2 * M - 1).bit_length())  # pow2 ≥ 2M → load ≤ 0.5
+    mask = jnp.int32(T - 1)
+    vids = jnp.arange(M, dtype=jnp.int32)
+    valid = vids < num_valid
+    h0 = _hash_keys(unique_keys)
+
+    def insert_round(state):
+        table, placed, r = state
+        idx = (h0 + r) & mask
+        active = valid & ~placed
+        table = table.at[jnp.where(active, idx, T)].min(vids, mode="drop")
+        placed = placed | (table[idx] == vids)
+        return table, placed, r + 1
+
+    def insert_cond(state):
+        _, placed, r = state
+        return (r < _MAX_PROBES) & jnp.any(valid & ~placed)
+
+    table0 = jnp.full((T,), M, jnp.int32)  # M = empty sentinel
+    table, placed, _ = jax.lax.while_loop(
+        insert_cond, insert_round, (table0, jnp.zeros((M,), bool), jnp.int32(0))
+    )
+
+    def lookup(query_keys):
+        """(Q, d) int32 → vertex id in [0, M) or M if absent."""
+        qh = _hash_keys(query_keys)
+        Q = query_keys.shape[0]
+
+        def probe_round(state):
+            result, done, r = state
+            idx = (qh + r) & mask
+            vid = table[idx]
+            empty = vid == M
+            cand_keys = unique_keys[jnp.minimum(vid, M - 1)]
+            match = (~empty) & jnp.all(cand_keys == query_keys, axis=-1)
+            result = jnp.where(~done & match, vid, result)
+            done = done | match | empty
+            return result, done, r + 1
+
+        def probe_cond(state):
+            _, done, r = state
+            return (r < _MAX_PROBES) & ~jnp.all(done)
+
+        result0 = jnp.full((Q,), M, jnp.int32)
+        result, _, _ = jax.lax.while_loop(
+            probe_cond, probe_round, (result0, jnp.zeros((Q,), bool), jnp.int32(0))
+        )
+        return result
+
+    # --- 3) blur neighbors along each of the d+1 lattice axes ---
+    # (`permutohedral.h:504-509`): axis j < d: +1 everywhere except coord j
+    # gets −d (and the mirror); axis d: ±1 in all stored coords.
+    deltas = []
+    eye = np.eye(d, dtype=np.int32)
+    for j in range(d + 1):
+        if j < d:
+            deltas.append(np.ones(d, dtype=np.int32) - (d + 1) * eye[j])
+        else:
+            deltas.append(np.ones(d, dtype=np.int32))
+    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d)
+
+    # One batched lookup for all axes & signs: (2·(d+1)·M, d) queries.
+    queries = jnp.concatenate(
+        [
+            (unique_keys[None, :, :] + delta_arr[:, None, :]).reshape(-1, d),
+            (unique_keys[None, :, :] - delta_arr[:, None, :]).reshape(-1, d),
+        ],
+        axis=0,
+    )
+    found = lookup(queries)  # (2·(d+1)·M,)
+    plus = found[: (d + 1) * M].reshape(d + 1, M)
+    minus = found[(d + 1) * M :].reshape(d + 1, M)
+    neighbors = jnp.stack([plus, minus], axis=-1)  # (d+1, M, 2)
+
+    return PermutohedralPlan(
+        slot=slot, bary=bary, neighbors=neighbors, num_valid=num_valid
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apply: splat → blur → slice (linear in src)
+# ---------------------------------------------------------------------------
+
+
+def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
+    """(n, L) → (M+1, L) vertex values; row M is the zero sentinel."""
+    n, L = src.shape
+    d = plan.d
+    M = plan.capacity
+    weighted = plan.bary[:, :, None] * src[:, None, :]  # (n, d+1, L)
+    vals = jax.ops.segment_sum(
+        weighted.reshape(n * (d + 1), L),
+        plan.slot.reshape(-1),
+        num_segments=M + 1,
+    )
+    return vals.at[M].set(0.0)
+
+
+def _blur_pass(vals: jax.Array, nbr: jax.Array) -> jax.Array:
+    """One axis of the unnormalized [1/2, 1, 1/2] lattice blur
+    (`permutohedral.h:524-526`, incl. Krähenbühl's factor 2)."""
+    M = vals.shape[0] - 1
+    v1 = vals[nbr[:, 0]]
+    v2 = vals[nbr[:, 1]]
+    new = vals[:M] + 0.5 * (v1 + v2)
+    return vals.at[:M].set(new)
+
+
+def _blur(plan: PermutohedralPlan, vals: jax.Array, reverse: bool) -> jax.Array:
+    d = plan.d
+    axes = range(d, -1, -1) if reverse else range(d + 1)
+    for j in axes:
+        vals = _blur_pass(vals, plan.neighbors[j])
+    return vals
+
+
+def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
+    """Gather vertex values back to pixels with barycentric weights, scaled
+    by the 1/(1+2^-d) constant (`permutohedral.h:480`)."""
+    d = plan.d
+    gathered = vals[plan.slot]  # (n, d+1, L)
+    out = jnp.einsum("nk,nkl->nl", plan.bary, gathered)
+    return out / (1.0 + 2.0 ** (-d))
+
+
+def apply_plan(plan: PermutohedralPlan, src: jax.Array, reverse: bool = False) -> jax.Array:
+    """Filter (n, L) values through a prebuilt plan. Linear in `src`.
+
+    `reverse=True` applies the transposed filter (blur axes in reverse
+    order), used for the ∂src VJP — the splat/slice pair is already
+    symmetric (same slots and weights).
+    """
+    vals = _splat(plan, src)
+    vals = _blur(plan, vals, reverse)
+    return _slice(plan, vals)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable filter (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# The plan (slot/bary/neighbors) is an explicit argument of the custom-VJP
+# primitive so it is built ONCE per reference image and reused across label
+# channels, all mean-field iterations, and the forward+backward passes —
+# the Krähenbühl init/compute split (`krahenbuhl.cpp:138-320`), now with
+# exact gradient plumbing. Cotangents for the integer plan arrays are
+# float0 zeros; `bary`'s true ref-dependence is accounted for analytically
+# by the 4-filter identity, so its direct cotangent is zero as well.
+
+
+@jax.custom_vjp
+def _planned_filter(src, ref, slot, bary, neighbors):
+    plan = PermutohedralPlan(slot=slot, bary=bary, neighbors=neighbors,
+                             num_valid=jnp.int32(0))
+    return apply_plan(plan, src)
+
+
+def _planned_fwd(src, ref, slot, bary, neighbors):
+    out = _planned_filter(src, ref, slot, bary, neighbors)
+    return out, (src, ref, slot, bary, neighbors)
+
+
+def _planned_bwd(res, g):
+    src, ref, slot, bary, neighbors = res
+    plan = PermutohedralPlan(slot=slot, bary=bary, neighbors=neighbors,
+                             num_valid=jnp.int32(0))
+    n, L = src.shape
+    d = ref.shape[1]
+    # ∂src: transposed filter through the same plan (exact — the forward is
+    # linear in src). `crf/gaussian_matrix.py:445-446` uses symmetry; we
+    # additionally reverse the blur axis order for exact transposition.
+    grad_src = apply_plan(plan, g, reverse=True)
+
+    # ∂ref: 4-filter identity (`crf/gaussian_matrix.py:450-463`) for
+    # W_ij = exp(-‖r_i−r_j‖²/2):
+    #   dL/dr_i = -[ s_i r_i (Wg)_i − s_i (W(g⊗r))_i
+    #              + g_i r_i (Ws)_i − g_i (W(s⊗r))_i ]
+    # One filter call of width 2L(d+1) through the same plan.
+    gf = g[..., None] * ref[:, None, :]  # (n, L, d)
+    sf = src[..., None] * ref[:, None, :]
+    stacked = jnp.concatenate(
+        [g, gf.reshape(n, L * d), src, sf.reshape(n, L * d)], axis=-1
+    )
+    filtered = apply_plan(plan, stacked)
+    wg = filtered[:, :L]
+    wgf = filtered[:, L : L + L * d].reshape(n, L, d)
+    ws = filtered[:, L + L * d : 2 * L + L * d]
+    wsf = filtered[:, 2 * L + L * d :].reshape(n, L, d)
+    grad_ref = -(
+        sf * wg[..., None] - src[..., None] * wgf + gf * ws[..., None] - g[..., None] * wsf
+    ).sum(-2)
+
+    f0 = jax.dtypes.float0
+    return (
+        grad_src,
+        grad_ref,
+        np.zeros(slot.shape, f0),
+        jnp.zeros_like(bary),
+        np.zeros(neighbors.shape, f0),
+    )
+
+
+_planned_filter.defvjp(_planned_fwd, _planned_bwd)
+
+
+def lattice_filter_planned(src: jax.Array, ref: jax.Array, plan: PermutohedralPlan) -> jax.Array:
+    """Filter through a prebuilt plan, differentiable in src AND ref.
+
+    The caller guarantees `plan == build_plan(ref)` (up to the gradient
+    approximation this is what makes ∂ref correct). Use inside mean-field
+    loops: one `build_plan` per image, many cheap filter calls.
+    """
+    return _planned_filter(src, ref, plan.slot, plan.bary, plan.neighbors)
+
+
+def lattice_filter(src: jax.Array, ref: jax.Array, normalize: str = "none") -> jax.Array:
+    """Approximate Gaussian filter: Σ_j exp(-‖ref_i−ref_j‖²/2)·src_j.
+
+    Args:
+      src: (n, L) values; ref: (n, d) features (pre-scaled by 1/σ).
+      normalize: 'none' (reference lite CPU semantics — unnormalized,
+        what the CRF stack is tuned on) or 'homogeneous' (divide by the
+        filtered ones channel — CUDA `permutohedral.cu:404-406` semantics;
+        gradients flow through the quotient automatically).
+
+    Differentiable in both args: ∂src via the transpose filter, ∂ref via the
+    analytic 4-filter identity (see module docstring).
+    """
+    plan = build_plan(jax.lax.stop_gradient(ref))
+    if normalize == "homogeneous":
+        ones = jnp.ones(src.shape[:1] + (1,), src.dtype)
+        out = lattice_filter_planned(jnp.concatenate([src, ones], -1), ref, plan)
+        return out[:, :-1] / jnp.maximum(out[:, -1:], 1e-20)
+    if normalize != "none":
+        raise ValueError(f"unknown normalize mode {normalize!r}")
+    return lattice_filter_planned(src, ref, plan)
+
+
+def lattice_adjacency(src: jax.Array, ref: jax.Array) -> jax.Array:
+    """(W − I) @ src message-passing operator (`LatticeGaussian`,
+    `crf/gaussian_matrix.py:292-303`)."""
+    return lattice_filter(src, ref) - src

@@ -1,0 +1,87 @@
+"""Mean-field CRF tests against a direct numpy loop, plus the dense oracle."""
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu.crf.compat import (
+    charb_apply,
+    charb_init,
+    charb_matrix,
+    charbonnier,
+    compatibility_matrix,
+    potts_matrix,
+)
+from depth_estimation_tpu.crf.meanfield import crf_as_rnn, mean_field_infer
+from depth_estimation_tpu.ops.dense_gaussian import (
+    dense_gaussian_adjacency,
+    dense_gaussian_filter,
+    dense_gaussian_matrix,
+)
+
+
+def softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_dense_filter_matches_matrix(rng):
+    n, d, L = 200, 3, 4
+    ref = rng.randn(n, d)
+    src = rng.randn(n, L)
+    W = np.asarray(dense_gaussian_matrix(jnp.asarray(ref)))
+    want = W @ src
+    got = np.asarray(dense_gaussian_filter(jnp.asarray(src), jnp.asarray(ref), block=64))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_mean_field_matches_numpy_loop(rng):
+    n, d, L, niters = 120, 2, 5, 6
+    ref = rng.randn(n, d)
+    E0 = rng.randn(n, L)
+    Mu = rng.rand(L, L)
+    Mu = (Mu + Mu.T) / 2
+
+    W = np.exp(-0.5 * ((ref[None] - ref[:, None]) ** 2).sum(-1)) - np.eye(n)
+    Q = softmax(-E0)
+    for _ in range(niters):
+        E = E0 + W @ Q @ Mu
+        Q = softmax(-E)
+
+    msg = lambda x: dense_gaussian_adjacency(x, jnp.asarray(ref), block=64)
+    got = np.asarray(mean_field_infer(jnp.asarray(E0), msg, jnp.asarray(Mu), niters))
+    np.testing.assert_allclose(got, Q, rtol=1e-7, atol=1e-9)
+
+
+def test_crf_as_rnn_confidence_and_identity(rng):
+    n, L = 50, 4
+    ref = rng.randn(n, 2)
+    logits = rng.randn(n, L)
+    msg = lambda x: dense_gaussian_adjacency(x, jnp.asarray(ref), block=64)
+    compat = lambda Q: Q @ jnp.asarray(potts_matrix(L))
+    # niters=0 → logits scaled by confidence only.
+    out0 = np.asarray(crf_as_rnn(jnp.asarray(logits), msg, compat, niters=0))
+    np.testing.assert_allclose(out0, logits, rtol=1e-12)
+    conf = rng.rand(n, 1)
+    outc = np.asarray(
+        crf_as_rnn(jnp.asarray(logits), msg, compat, niters=0, confidence=jnp.asarray(conf))
+    )
+    np.testing.assert_allclose(outc, logits * conf, rtol=1e-12)
+
+
+def test_charb_compat(rng):
+    L = 6
+    params = charb_init(gamma=0.1, dtype=jnp.float64)
+    labels = jnp.arange(L, dtype=jnp.float64)
+    Mu = np.asarray(charb_matrix(params, labels))
+    want = np.sqrt(0.1**2 + (labels[:, None] - labels[None, :]) ** 2) - 0.1
+    np.testing.assert_allclose(Mu, want, rtol=1e-7, atol=1e-12)
+    Q = rng.rand(7, L)
+    got = np.asarray(charb_apply(params, jnp.asarray(Q)))
+    np.testing.assert_allclose(got, Q @ want, rtol=1e-7, atol=1e-12)
+
+
+def test_compatibility_matrix_charbonnier():
+    labels = jnp.arange(4.0)
+    Mu = np.asarray(compatibility_matrix(lambda a, b: charbonnier(a, b, 2.0), labels))
+    assert Mu.shape == (4, 4)
+    assert np.allclose(np.diag(Mu), 0.0)
+    assert Mu[0, 3] > Mu[0, 1] > 0

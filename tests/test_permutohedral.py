@@ -1,0 +1,164 @@
+"""Permutohedral lattice tests.
+
+Strategy (SURVEY.md §4): property-test against the dense O(n²) Gaussian
+oracle (replaces the reference's eyeball/ad-hoc checks), plus gradient
+checks mirroring the reference gradcheck (`crf/gaussian_matrix.py:490-518`)
+— done in double precision on CPU, exactly as the reference flags
+(`:518` notes single precision as the accuracy limiter).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.ops.dense_gaussian import dense_gaussian_filter
+from depth_estimation_tpu.ops.permutohedral import (
+    apply_plan,
+    build_plan,
+    lattice_filter,
+    lattice_filter_planned,
+    simplex_embed,
+)
+
+jit_filter = jax.jit(lattice_filter)
+jit_filter_homog = jax.jit(partial(lattice_filter, normalize="homogeneous"))
+
+
+def test_simplex_embed_barycentric_partition_of_unity(rng):
+    for d in [1, 2, 5]:
+        ref = jnp.asarray(rng.randn(50, d) * 2.0)
+        keys, bary = jax.jit(simplex_embed)(ref)
+        np.testing.assert_allclose(np.asarray(bary).sum(-1), 1.0, atol=1e-10)
+        assert np.asarray(bary).min() > -1e-9  # convex weights
+        # keys of the d+1 simplex corners of one point differ
+        k = np.asarray(keys)
+        assert k.dtype == np.int32
+
+
+def test_plan_slots_consistent(rng):
+    ref = jnp.asarray(rng.randn(200, 3))
+    plan = jax.jit(build_plan)(ref)
+    slot = np.asarray(plan.slot)
+    assert slot.min() >= 0
+    assert slot.max() < int(plan.num_valid)
+    # all occupied slots are hit
+    assert len(np.unique(slot)) == int(plan.num_valid)
+
+
+def test_filter_mass_conservation_identical_points():
+    # All points at the same position share one simplex: the homogeneous-
+    # normalized filter returns exactly the mean over points (the blur gain
+    # cancels between numerator and the ones channel).
+    n, d = 40, 2
+    ref = jnp.zeros((n, d), jnp.float64)
+    src = jnp.asarray(np.random.RandomState(1).rand(n, 3))
+    out = np.asarray(jit_filter_homog(src, ref))
+    np.testing.assert_allclose(out, np.broadcast_to(src.mean(0), out.shape), rtol=1e-6)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_filter_matches_dense_oracle(rng, d):
+    n = 300
+    ref = jnp.asarray(rng.randn(n, d) * 1.5)
+    src = jnp.asarray(rng.rand(n, 2))
+    out_l = np.asarray(jit_filter(src, ref))
+    out_d = np.asarray(dense_gaussian_filter(src, ref, block=64))
+    corr = np.corrcoef(out_l.ravel(), out_d.ravel())[0, 1]
+    assert corr > 0.998, f"d={d}: lattice/dense corr {corr}"
+    # homogeneous-normalized comparison is scale-free
+    out_ln = np.asarray(jit_filter_homog(src, ref))
+    deg = np.asarray(dense_gaussian_filter(jnp.ones((n, 1), src.dtype), ref, block=64))
+    rel = np.abs(out_ln - out_d / deg) / (np.abs(out_d / deg) + 1e-9)
+    assert rel.mean() < 0.02, f"d={d}: mean rel err {rel.mean()}"
+
+
+def test_filter_high_dim_loose(rng):
+    n, d = 300, 5
+    ref = jnp.asarray(rng.randn(n, d) * 1.5)
+    src = jnp.asarray(rng.rand(n, 2))
+    out_l = np.asarray(jit_filter(src, ref))
+    out_d = np.asarray(dense_gaussian_filter(src, ref, block=64))
+    corr = np.corrcoef(out_l.ravel(), out_d.ravel())[0, 1]
+    assert corr > 0.93, f"d=5 corr {corr}"
+
+
+def test_apply_plan_linear_and_transpose(rng):
+    # <g, A s> == <A^T g, s> exactly (the reverse-blur transpose identity).
+    n, d, L = 150, 2, 3
+    ref = jnp.asarray(rng.randn(n, d))
+    plan = jax.jit(build_plan)(ref)
+    s = jnp.asarray(rng.randn(n, L))
+    g = jnp.asarray(rng.randn(n, L))
+    fwd = jax.jit(lambda x: apply_plan(plan, x))
+    rev = jax.jit(lambda x: apply_plan(plan, x, reverse=True))
+    lhs = float(jnp.vdot(g, fwd(s)))
+    rhs = float(jnp.vdot(rev(g), s))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_grad_src_exact(rng):
+    # Forward is linear in src → VJP wrt src must match finite differences
+    # to machine-ish precision.
+    n, d, L = 80, 2, 2
+    ref = jnp.asarray(rng.randn(n, d))
+    src = jnp.asarray(rng.rand(n, L))
+    g = jnp.asarray(rng.randn(n, L))
+
+    f = jax.jit(lambda s: jnp.vdot(g, lattice_filter(s, ref)))
+    grad = jax.jit(jax.grad(f))(src)
+    eps = 1e-6
+    v = jnp.asarray(rng.randn(n, L))
+    fd = (f(src + eps * v) - f(src - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(grad, v)), float(fd), rtol=1e-6)
+
+
+def test_grad_ref_identity_against_dense():
+    # The 4-filter identity is exact math for the *dense* Gaussian filter;
+    # check our lattice-VJP formula against autodiff through the dense
+    # oracle. The lattice is an approximation of the dense filter, so
+    # tolerances are loose but directional agreement must be strong.
+    rng = np.random.RandomState(3)
+    n, d, L = 120, 2, 2
+    ref = jnp.asarray(rng.randn(n, d) * 1.2)
+    src = jnp.asarray(rng.rand(n, L))
+    g = jnp.asarray(rng.randn(n, L))
+
+    def dense_loss(r):
+        return jnp.vdot(g, dense_gaussian_filter(src, r, block=64))
+
+    def lattice_loss(r):
+        return jnp.vdot(g, lattice_filter(src, r))
+
+    grad_dense = np.asarray(jax.jit(jax.grad(dense_loss))(ref))
+    grad_lat = np.asarray(jax.jit(jax.grad(lattice_loss))(ref))
+    corr = np.corrcoef(grad_dense.ravel(), grad_lat.ravel())[0, 1]
+    assert corr > 0.97, f"grad_ref corr vs dense autodiff: {corr}"
+    scale = (grad_lat * grad_dense).sum() / (grad_dense**2).sum()
+    assert 0.5 < scale < 1.5, f"grad_ref scale {scale}"
+
+
+def test_planned_filter_matches_unplanned(rng):
+    n, d, L = 100, 3, 2
+    ref = jnp.asarray(rng.randn(n, d))
+    src = jnp.asarray(rng.rand(n, L))
+
+    def planned(s, r):
+        plan = build_plan(jax.lax.stop_gradient(r))
+        return lattice_filter_planned(s, r, plan)
+
+    out_a = np.asarray(jax.jit(planned)(src, ref))
+    out_b = np.asarray(jit_filter(src, ref))
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-12)
+
+
+def test_capacity_overflow_soft(rng):
+    # With max_vertices below occupancy the filter degrades but must not
+    # crash or produce NaN (overflow slots route to the zero sentinel).
+    n, d = 100, 2
+    ref = jnp.asarray(rng.randn(n, d) * 3.0)
+    src = jnp.asarray(rng.rand(n, 2))
+    plan = jax.jit(partial(build_plan, max_vertices=32))(ref)
+    out = np.asarray(jax.jit(lambda s: apply_plan(plan, s))(src))
+    assert np.isfinite(out).all()
