@@ -42,6 +42,9 @@ class CRFStereoConfig:
     unary_scale: float = 1.0
     backend: str = "lattice"  # 'lattice' | 'dense'
     mu_scale: float = 1.0
+    # lattice vertex capacity: None = auto (pow2 ≥ 2n — fast, ~3x headroom
+    # over measured occupancy); pass n·(d+1) for the exact worst case.
+    max_vertices: int | None = None
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -76,7 +79,11 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     E0_flat = E0.reshape(h * w, cfg.num_disp)
 
     if cfg.backend == "lattice":
-        plan = build_plan(ref)
+        cap = cfg.max_vertices
+        if cap is None:
+            cap = 1 << (2 * h * w - 1).bit_length()  # pow2 ≥ 2n
+            cap = min(cap, ref.shape[0] * (ref.shape[1] + 1))
+        plan = build_plan(ref, max_vertices=cap)
         message_fn = lambda Q: apply_plan(plan, Q) - Q
     elif cfg.backend == "dense":
         message_fn = lambda Q: dense_gaussian_filter(Q, ref) - Q

