@@ -34,8 +34,16 @@ __all__ = [
 
 
 def _adjacency(plan: PermutohedralPlan, U: jax.Array) -> jax.Array:
-    """(W − I) @ U via the lattice (self-excluded affinity)."""
-    return apply_plan(plan, U) - U
+    """(W_sym − I) @ U via the lattice (self-excluded affinity).
+
+    The lattice blur applies its d+1 axis passes in a fixed order, so the
+    raw filter is only symmetric up to that ordering; LOBPCG needs an
+    exactly self-adjoint operator, so we average the forward and
+    reverse-ordered (transposed) filters.
+    """
+    fwd = apply_plan(plan, U)
+    rev = apply_plan(plan, U, reverse=True)
+    return 0.5 * (fwd + rev) - U
 
 
 def laplacian_matvec(plan: PermutohedralPlan, degree: jax.Array, U: jax.Array,
@@ -67,7 +75,7 @@ def spectral_embedding(ref: jax.Array, k: int, niters: int = 100) -> jax.Array:
     n = ref.shape[0]
     plan = build_plan(ref)
     ones = jnp.ones((n, 1), ref.dtype)
-    degree = jnp.maximum(_adjacency(plan, ones), 1e-12)
+    degree = jnp.maximum(_adjacency(plan, ones), 1e-3)
 
     def A(U):  # 2I − L : largest eigenpairs ↔ smallest of L (λ(L) ∈ [0, 2])
         return 2.0 * U - laplacian_matvec(plan, degree, U, "sym")
