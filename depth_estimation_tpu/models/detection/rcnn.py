@@ -1,0 +1,187 @@
+"""Two-stage detector: RPN → proposals → ROI heads (box, mask).
+
+The `Generalized_RCNN` / `MaskRCNN.build` capability
+(`mask-rcnn.pytorch/lib/modeling/model_builder.py:71-250`,
+`Mask_RCNN/mrcnn/model.py:1847-2101`) re-designed for XLA: every stage is
+fixed-shape (top-K proposals, static detection count), NMS and ROI-Align
+are the `ops.detection` primitives, and the whole inference path is one
+jittable function. GroupNorm everywhere; channels-last.
+
+This is the minimal complete two-stage pipeline: objectness + box deltas
+per FPN level → decoded, clipped, NMS'd proposals → ROI-aligned features →
+class scores + per-class boxes (+ mask head). Losses for training are in
+`losses.py`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.detection import clip_boxes, decode_boxes, nms, roi_align
+from .anchors import pyramid_anchors
+from .backbone import ResNetFPN
+
+__all__ = ["RPNHead", "BoxHead", "MaskHead", "MaskRCNN", "fpn_level_for_boxes"]
+
+FPN_STRIDES = (4, 8, 16, 32, 64)
+FPN_SCALES = (32, 64, 128, 256, 512)
+
+
+class RPNHead(nn.Module):
+    """Shared conv → (objectness, deltas) per level
+    (`rpn_graph`, `mrcnn/model.py:833-902`)."""
+
+    num_anchors: int = 3
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, feats):
+        conv = nn.Conv(self.dim, (3, 3), padding="SAME", name="rpn_conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), name="rpn_cls")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="rpn_reg")
+        logits, deltas = [], []
+        for f in feats:
+            y = nn.relu(conv(f))
+            logits.append(cls(y).reshape(-1))
+            deltas.append(reg(y).reshape(-1, 4))
+        return jnp.concatenate(logits), jnp.concatenate(deltas)
+
+
+class BoxHead(nn.Module):
+    """2-fc box head (`fpn_classifier_graph`, `mrcnn/model.py:903-958`)."""
+
+    num_classes: int = 81
+    dim: int = 1024
+
+    @nn.compact
+    def __call__(self, roi_feats):  # (R, ph, pw, c)
+        R = roi_feats.shape[0]
+        y = roi_feats.reshape(R, -1)
+        y = nn.relu(nn.Dense(self.dim)(y))
+        y = nn.relu(nn.Dense(self.dim)(y))
+        scores = nn.Dense(self.num_classes)(y)
+        deltas = nn.Dense(self.num_classes * 4)(y).reshape(R, self.num_classes, 4)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """4-conv + deconv mask head (`build_fpn_mask_graph`,
+    `mrcnn/model.py:959-1014`)."""
+
+    num_classes: int = 81
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, roi_feats):  # (R, ph, pw, c) → (R, 2ph, 2pw, K)
+        y = roi_feats
+        for _ in range(4):
+            y = nn.relu(nn.GroupNorm(num_groups=32)(nn.Conv(self.dim, (3, 3), padding="SAME")(y)))
+        y = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2))(y))
+        return nn.Conv(self.num_classes, (1, 1))(y)
+
+
+def fpn_level_for_boxes(boxes: jax.Array, k0: int = 4, k_min: int = 2, k_max: int = 5):
+    """log2 level assignment (`PyramidROIAlign`, `mrcnn/model.py:344-455`):
+    k = k0 + log2(sqrt(area)/224), clipped to [k_min, k_max]."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 1.0
+    )
+    k = jnp.floor(k0 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
+    return jnp.clip(k, k_min, k_max).astype(jnp.int32)
+
+
+def pyramid_roi_align(feats, boxes, output_size=(7, 7)):
+    """ROI-Align from the FPN level each box maps to. Fixed shape: computes
+    alignment against every level and selects — XLA-friendly, no dynamic
+    partitioning (vs the reference's per-level gather/re-scatter at
+    `collect_and_distribute_fpn_rpn_proposals.py`)."""
+    levels = fpn_level_for_boxes(boxes)  # values in [2, 5]
+    pooled = []
+    for i, f in enumerate(feats[:4]):  # P2..P5
+        scale = 1.0 / FPN_STRIDES[i]
+        pooled.append(roi_align(f[0], boxes, output_size, spatial_scale=scale))
+    pooled = jnp.stack(pooled)  # (4, R, ph, pw, c)
+    sel = levels - 2  # 0..3
+    return jnp.take_along_axis(
+        pooled, sel[None, :, None, None, None], axis=0
+    )[0]
+
+
+class MaskRCNN(nn.Module):
+    """End-to-end two-stage detector (inference graph)."""
+
+    num_classes: int = 81
+    blocks: Sequence[int] = (3, 4, 6, 3)
+    fpn_dim: int = 256
+    num_proposals: int = 256
+    num_detections: int = 64
+    rpn_nms_thresh: float = 0.7
+    det_nms_thresh: float = 0.5
+    score_thresh: float = 0.05
+
+    @nn.compact
+    def __call__(self, image):  # (h, w, 3) → dict
+        h, w = image.shape[:2]
+        feats = ResNetFPN(self.blocks, self.fpn_dim)(image[None])
+        rpn_logits, rpn_deltas = RPNHead(dim=self.fpn_dim)(feats)
+
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = pyramid_anchors(shapes, FPN_STRIDES, FPN_SCALES)
+
+        # Proposal layer (`mrcnn/model.py:255-338`): decode, clip, NMS top-K.
+        boxes = clip_boxes(decode_boxes(anchors, rpn_deltas), h, w)
+        scores = jax.nn.sigmoid(rpn_logits)
+        # pre-NMS top-N for tractable NMS matrix
+        top = jnp.argsort(-scores)[: 4 * self.num_proposals]
+        keep, valid = nms(
+            boxes[top], scores[top], self.rpn_nms_thresh, self.num_proposals
+        )
+        prop_idx = top[jnp.maximum(keep, 0)]
+        proposals = jnp.where(valid[:, None], boxes[prop_idx], 0.0)  # (P, 4)
+
+        # Box head on pooled proposals.
+        roi_feats = pyramid_roi_align(feats, proposals, (7, 7))
+        cls_scores, cls_deltas = BoxHead(self.num_classes)(roi_feats)
+        probs = jax.nn.softmax(cls_scores, axis=-1)
+
+        # Per-ROI best non-background class (`DetectionLayer`,
+        # `mrcnn/model.py:785-832` simplified to argmax class).
+        best = jnp.argmax(probs[:, 1:], axis=-1) + 1
+        best_prob = jnp.take_along_axis(probs, best[:, None], axis=1)[:, 0]
+        best_prob = jnp.where(valid, best_prob, 0.0)
+        best_deltas = jnp.take_along_axis(
+            cls_deltas, best[:, None, None].repeat(4, -1), axis=1
+        )[:, 0]
+        det_boxes = clip_boxes(decode_boxes(proposals, best_deltas), h, w)
+
+        keep2, valid2 = nms(
+            det_boxes, best_prob, self.det_nms_thresh, self.num_detections,
+            score_threshold=self.score_thresh,
+        )
+        safe2 = jnp.maximum(keep2, 0)
+        final_boxes = jnp.where(valid2[:, None], det_boxes[safe2], 0.0)
+        final_cls = jnp.where(valid2, best[safe2], 0)
+        final_scores = jnp.where(valid2, best_prob[safe2], 0.0)
+
+        # Mask head on final detections.
+        mask_feats = pyramid_roi_align(feats, final_boxes, (14, 14))
+        mask_logits = MaskHead(self.num_classes)(mask_feats)  # (D, 28, 28, K)
+        masks = jax.nn.sigmoid(
+            jnp.take_along_axis(
+                mask_logits, final_cls[:, None, None, None], axis=-1
+            )[..., 0]
+        )
+
+        return {
+            "boxes": final_boxes,
+            "classes": final_cls,
+            "scores": final_scores,
+            "valid": valid2,
+            "masks": masks,  # (D, 28, 28) in ROI frame
+            "proposals": proposals,
+            "rpn_scores": scores,
+        }

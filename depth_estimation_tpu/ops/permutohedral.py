@@ -564,3 +564,25 @@ def lattice_adjacency(src: jax.Array, ref: jax.Array) -> jax.Array:
     """(W − I) @ src message-passing operator (`LatticeGaussian`,
     `crf/gaussian_matrix.py:292-303`)."""
     return lattice_filter(src, ref) - src
+
+
+def lattice_filter_batched(srcs: jax.Array, refs: jax.Array, normalize: str = "none"):
+    """Batched filter over leading dim: (B, n, L), (B, n, d) → (B, n, L).
+
+    The reference fans a CPU process pool over the batch
+    (`BatchedLatticeFilter` + `batched_filter`,
+    `crf/gaussian_matrix.py:370-421`); here one `vmap` batches the whole
+    plan build + apply into a single XLA program.
+    """
+    return jax.vmap(lambda s, r: lattice_filter(s, r, normalize))(srcs, refs)
+
+
+def batched_lattice_adjacency(src_imgs: jax.Array, guide_imgs: jax.Array) -> jax.Array:
+    """(B, h, w, L), (B, h, w, d) image-space batched (W − I)@src
+    (`BatchedAdjacency.forward`, `crf/gaussian_matrix.py:341-352`)."""
+    B, h, w, L = src_imgs.shape
+    d = guide_imgs.shape[-1]
+    flat_src = src_imgs.reshape(B, h * w, L)
+    flat_ref = guide_imgs.reshape(B, h * w, d)
+    out = lattice_filter_batched(flat_src, flat_ref)
+    return out.reshape(B, h, w, L) - src_imgs

@@ -162,3 +162,15 @@ def test_capacity_overflow_soft(rng):
     plan = jax.jit(partial(build_plan, max_vertices=32))(ref)
     out = np.asarray(jax.jit(lambda s: apply_plan(plan, s))(src))
     assert np.isfinite(out).all()
+
+
+def test_batched_filter_matches_loop(rng):
+    from depth_estimation_tpu.ops.permutohedral import lattice_filter_batched
+
+    B, n, d, L = 3, 60, 2, 2
+    refs = jnp.asarray(rng.randn(B, n, d))
+    srcs = jnp.asarray(rng.rand(B, n, L))
+    out = np.asarray(jax.jit(lattice_filter_batched)(srcs, refs))
+    for b in range(B):
+        want = np.asarray(jit_filter(srcs[b], refs[b]))
+        np.testing.assert_allclose(out[b], want, rtol=1e-10)

@@ -1,0 +1,75 @@
+"""Detection model family tests: shapes, anchors, level assignment, and a
+full jitted inference pass on random weights (structure/flow validation —
+the reference's shapes-dataset role, SURVEY.md §4.6)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.models.detection.anchors import cell_anchors, pyramid_anchors
+from depth_estimation_tpu.models.detection.backbone import FPN, ResNet, ResNetFPN
+from depth_estimation_tpu.models.detection.rcnn import (
+    MaskRCNN,
+    fpn_level_for_boxes,
+)
+
+
+def test_cell_anchors_areas():
+    a = cell_anchors(32.0)
+    areas = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    np.testing.assert_allclose(areas, 32.0**2, rtol=1e-5)
+
+
+def test_pyramid_anchors_count():
+    shapes = [(8, 8), (4, 4)]
+    anchors = pyramid_anchors(shapes, strides=[4, 8], scales=[32, 64])
+    assert anchors.shape == (3 * (64 + 16), 4)
+    # first anchors centered in the first cell
+    cx = (anchors[0, 0] + anchors[0, 2]) / 2
+    assert abs(float(cx) - 2.0) < 1e-5
+
+
+def test_fpn_level_assignment():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 32, 32],      # small → level 2
+            [0, 0, 224, 224],    # canonical → level 4
+            [0, 0, 1000, 1000],  # huge → level 5 (clipped)
+        ],
+        jnp.float32,
+    )
+    levels = np.asarray(fpn_level_for_boxes(boxes))
+    assert levels[0] == 2 and levels[1] == 4 and levels[2] == 5
+
+
+def test_resnet_fpn_shapes():
+    model = ResNetFPN(blocks=(1, 1, 1, 1), out_dim=32)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(params, x)
+    assert len(feats) == 5
+    # strides 4, 8, 16, 32, 64
+    assert [f.shape[1] for f in feats] == [16, 8, 4, 2, 1]
+    assert all(f.shape[-1] == 32 for f in feats)
+
+
+def test_maskrcnn_inference_flow():
+    model = MaskRCNN(
+        num_classes=5,
+        blocks=(1, 1, 1, 1),
+        fpn_dim=32,
+        num_proposals=16,
+        num_detections=8,
+        score_thresh=-1.0,  # random weights: keep everything
+    )
+    img = jnp.asarray(np.random.RandomState(0).rand(64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)
+    out = jax.jit(model.apply)(params, img)
+    assert out["boxes"].shape == (8, 4)
+    assert out["classes"].shape == (8,)
+    assert out["masks"].shape == (8, 28, 28)
+    assert out["proposals"].shape == (16, 4)
+    b = np.asarray(out["boxes"])
+    assert np.isfinite(b).all()
+    assert (b[:, 2] >= b[:, 0] - 1e-5).all() and (b[:, 3] >= b[:, 1] - 1e-5).all()
+    assert np.asarray(out["masks"]).min() >= 0 and np.asarray(out["masks"]).max() <= 1
