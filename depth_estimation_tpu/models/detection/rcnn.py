@@ -124,7 +124,7 @@ class MaskRCNN(nn.Module):
     score_thresh: float = 0.05
 
     @nn.compact
-    def __call__(self, image):  # (h, w, 3) → dict
+    def __call__(self, image, train: bool = False):  # (h, w, 3) → dict
         h, w = image.shape[:2]
         feats = ResNetFPN(self.blocks, self.fpn_dim)(image[None])
         rpn_logits, rpn_deltas = RPNHead(dim=self.fpn_dim)(feats)
@@ -167,14 +167,19 @@ class MaskRCNN(nn.Module):
         final_cls = jnp.where(valid2, best[safe2], 0)
         final_scores = jnp.where(valid2, best_prob[safe2], 0.0)
 
-        # Mask head on final detections.
-        mask_feats = pyramid_roi_align(feats, final_boxes, (14, 14))
-        mask_logits = MaskHead(self.num_classes)(mask_feats)  # (D, 28, 28, K)
-        masks = jax.nn.sigmoid(
-            jnp.take_along_axis(
-                mask_logits, final_cls[:, None, None, None], axis=-1
-            )[..., 0]
-        )
+        # Mask head: on proposals when training (targets are per-proposal),
+        # on final detections at inference.
+        mask_boxes = proposals if train else final_boxes
+        mask_feats = pyramid_roi_align(feats, mask_boxes, (14, 14))
+        mask_logits = MaskHead(self.num_classes)(mask_feats)  # (·, 28, 28, K)
+        if train:
+            masks = None
+        else:
+            masks = jax.nn.sigmoid(
+                jnp.take_along_axis(
+                    mask_logits, final_cls[:, None, None, None], axis=-1
+                )[..., 0]
+            )
 
         return {
             "boxes": final_boxes,
@@ -183,5 +188,13 @@ class MaskRCNN(nn.Module):
             "valid": valid2,
             "masks": masks,  # (D, 28, 28) in ROI frame
             "proposals": proposals,
+            "proposal_valid": valid,
             "rpn_scores": scores,
+            # raw outputs for the training losses (losses.py)
+            "rpn_logits": rpn_logits,
+            "rpn_deltas": rpn_deltas,
+            "anchors": anchors,
+            "cls_scores": cls_scores,
+            "cls_deltas": cls_deltas,
+            "mask_logits": mask_logits,
         }

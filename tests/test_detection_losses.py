@@ -1,0 +1,80 @@
+"""Detection loss tests: matching logic, loss sanity, and gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depth_estimation_tpu.models.detection.losses import (
+    mask_loss,
+    match_anchors,
+    roi_losses,
+    rpn_losses,
+    smooth_l1,
+)
+
+
+def test_smooth_l1_branches():
+    x = jnp.asarray([0.0, 0.05, 1.0])
+    out = np.asarray(smooth_l1(x, beta=1 / 9))
+    assert out[0] == 0
+    np.testing.assert_allclose(out[1], 0.5 * 0.05**2 / (1 / 9), rtol=1e-6)
+    np.testing.assert_allclose(out[2], 1.0 - 0.5 / 9, rtol=1e-6)
+
+
+def test_match_anchors_labels():
+    anchors = jnp.asarray(
+        [[0, 0, 10, 10], [100, 100, 110, 110], [0, 0, 9, 9], [50, 50, 52, 52]],
+        jnp.float32,
+    )
+    gt = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    valid = jnp.asarray([True])
+    labels, matched = match_anchors(anchors, gt, valid)
+    labels = np.asarray(labels)
+    assert labels[0] == 1  # exact IoU 1
+    assert labels[1] == 0  # no overlap
+    assert labels[2] == 1  # IoU 0.81 ≥ 0.7
+    assert labels[3] == 0
+
+
+def test_rpn_losses_perfect_predictions_low_loss():
+    anchors = jnp.asarray([[0, 0, 10, 10], [30, 30, 44, 44]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    valid = jnp.asarray([True])
+    good_logits = jnp.asarray([8.0, -8.0])
+    zero_deltas = jnp.zeros((2, 4))
+    cls, reg = rpn_losses(good_logits, zero_deltas, anchors, gt, valid)
+    assert float(cls) < 1e-3
+    assert float(reg) < 1e-6  # positive anchor == its GT → zero targets
+    bad_logits = jnp.asarray([-8.0, 8.0])
+    cls_bad, _ = rpn_losses(bad_logits, zero_deltas, anchors, gt, valid)
+    assert float(cls_bad) > 5.0
+
+
+def test_roi_and_mask_losses_grad_flow():
+    rng = np.random.RandomState(0)
+    R, K, G = 6, 4, 2
+    proposals = jnp.asarray(np.abs(rng.rand(R, 4)) * 20, jnp.float32)
+    proposals = proposals.at[:, 2:].set(proposals[:, :2] + 10)
+    gt_boxes = proposals[:G] + 1.0
+    gt_classes = jnp.asarray([1, 2])
+    gt_valid = jnp.asarray([True, True])
+    prop_valid = jnp.ones((R,), bool)
+
+    def loss_fn(params):
+        scores, deltas, mlogits = params
+        c, r, tgt_cls, best_gt, fg = roi_losses(
+            scores, deltas, proposals, prop_valid, gt_boxes, gt_classes, gt_valid
+        )
+        tgt_masks = jnp.ones((R, 7, 7))
+        m = mask_loss(mlogits, tgt_cls, tgt_masks, fg)
+        return c + r + m
+
+    params = (
+        jnp.asarray(rng.randn(R, K), jnp.float32),
+        jnp.asarray(rng.randn(R, K, 4), jnp.float32) * 0.01,
+        jnp.asarray(rng.randn(R, 7, 7, K), jnp.float32),
+    )
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
