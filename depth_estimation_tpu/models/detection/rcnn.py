@@ -198,3 +198,39 @@ class MaskRCNN(nn.Module):
             "cls_deltas": cls_deltas,
             "mask_logits": mask_logits,
         }
+
+
+class KeypointHead(nn.Module):
+    """Keypoint heatmap head (`lib/modeling/keypoint_rcnn_heads.py`
+    capability): 8 convs + deconv + 2x upsample → per-keypoint logit maps."""
+
+    num_keypoints: int = 17
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, roi_feats):  # (R, ph, pw, c) → (R, 4ph, 4pw, K)
+        y = roi_feats
+        groups = max(1, min(32, self.dim // 8))
+        for _ in range(4):
+            y = nn.relu(nn.GroupNorm(num_groups=groups)(
+                nn.Conv(self.dim, (3, 3), padding="SAME")(y)))
+        y = nn.relu(nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2))(y))
+        y = nn.ConvTranspose(self.num_keypoints, (2, 2), strides=(2, 2))(y)
+        return y
+
+
+def keypoint_loss(kp_logits, tgt_xy, tgt_visible, fg):
+    """Softmax cross-entropy over the flattened heatmap at the target
+    keypoint bin (`keypoint_rcnn_heads.py` loss semantics).
+
+    kp_logits: (R, m, m, K); tgt_xy: (R, K, 2) bin coords in [0, m);
+    tgt_visible: (R, K) bool; fg: (R,) foreground mask.
+    """
+    R, m, _, K = kp_logits.shape
+    flat = kp_logits.reshape(R, m * m, K)
+    logp = jax.nn.log_softmax(flat, axis=1)
+    bins = (tgt_xy[..., 1].astype(jnp.int32) * m + tgt_xy[..., 0].astype(jnp.int32))
+    bins = jnp.clip(bins, 0, m * m - 1)
+    picked = jnp.take_along_axis(logp, bins[:, None, :], axis=1)[:, 0, :]  # (R, K)
+    w = tgt_visible.astype(picked.dtype) * fg[:, None].astype(picked.dtype)
+    return -(picked * w).sum() / jnp.maximum(w.sum(), 1.0)

@@ -206,3 +206,34 @@ def clip_boxes(boxes: jax.Array, h: int, w: int) -> jax.Array:
         ],
         axis=1,
     )
+
+
+@partial(jax.jit, static_argnames=("output_size",))
+def roi_pool_max(
+    features: jax.Array,
+    boxes: jax.Array,
+    output_size: tuple[int, int] = (7, 7),
+    spatial_scale: float = 1.0,
+    samples: int = 4,
+) -> jax.Array:
+    """Max ROI pooling (capability of
+    `mask-rcnn.pytorch/lib/model/roi_pooling/src/roi_pooling_kernel.cu`):
+    max over a dense bilinear sample grid per bin — fixed-shape, smooth
+    enough for gradients (max of samples, not of integer cells)."""
+    h, w, c = features.shape
+    ph, pw = output_size
+    s = samples
+    scaled = boxes * spatial_scale
+    x1, y1 = scaled[:, 0], scaled[:, 1]
+    bin_w = jnp.maximum(scaled[:, 2] - x1, 1.0) / pw
+    bin_h = jnp.maximum(scaled[:, 3] - y1, 1.0) / ph
+    ks = (jnp.arange(s) + 0.5) / s
+    iy = y1[:, None, None] + (jnp.arange(ph)[None, :, None] + ks[None, None, :]) * bin_h[:, None, None]
+    ix = x1[:, None, None] + (jnp.arange(pw)[None, :, None] + ks[None, None, :]) * bin_w[:, None, None]
+    yy = iy[:, :, :, None, None]
+    xx = ix[:, None, None, :, :]
+    yy, xx = jnp.broadcast_arrays(yy, xx)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
+    vals = features[y0, x0]  # nearest-cell sample (max-pool is cell-based)
+    return vals.max(axis=(2, 4))

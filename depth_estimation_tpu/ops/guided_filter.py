@@ -36,14 +36,19 @@ def _box_mean(x: jax.Array, r: int, N: jax.Array) -> jax.Array:
     return box_filter2d(x, r, axes=(0, 1), normalize=False) / N
 
 
-def guided_filter_coeffs(y: jax.Array, x: jax.Array, r: int, eps) -> tuple[jax.Array, jax.Array]:
+def guided_filter_coeffs(
+    y: jax.Array, x: jax.Array, r: int, eps, exact: bool = True
+) -> tuple[jax.Array, jax.Array]:
     """Per-pixel affine coefficients (A, b) with y ≈ A·x + b over windows.
 
     Args:
       y: (h, w, c_y) source; x: (h, w, c_x) guide.
-      eps: scalar or (c_x,) regularizer added to the per-channel variance
-        (diagonal approximation — no c_x×c_x inverse, matching
-        `crf/gaussian_matrix.py:215-217`).
+      eps: scalar or (c_x,) regularizer.
+      exact: True solves the full (c_x × c_x) regularized covariance system
+        per pixel (batched small solves — MXU/VPU-cheap). False uses the
+        reference's diagonal approximation (`crf/gaussian_matrix.py:
+        215-217`), which overshoots edges up to ~2× when guide channels
+        are correlated — kept for parity/experiments.
 
     Returns:
       mean_A: (h, w, c_y, c_x); mean_b: (h, w, c_y).
@@ -60,9 +65,22 @@ def guided_filter_coeffs(y: jax.Array, x: jax.Array, r: int, eps) -> tuple[jax.A
         _box_mean(yx.reshape(h, w, c_y * c_x), r, N).reshape(h, w, c_y, c_x)
         - mean_y[..., :, None] * mean_x[..., None, :]
     )
-    var_x = _box_mean(x * x, r, N) - mean_x**2  # (h, w, c_x) diagonal
 
-    A = cov_yx / (var_x[..., None, :] + eps)  # (h, w, c_y, c_x)
+    if exact:
+        xx = x[..., :, None] * x[..., None, :]  # (h, w, c_x, c_x)
+        cov_xx = (
+            _box_mean(xx.reshape(h, w, c_x * c_x), r, N).reshape(h, w, c_x, c_x)
+            - mean_x[..., :, None] * mean_x[..., None, :]
+        )
+        eye = jnp.eye(c_x, dtype=x.dtype)
+        reg = cov_xx + eye * (jnp.asarray(eps, x.dtype) * jnp.ones((c_x,), x.dtype))
+        # solve (cov_xx + εI) Aᵀ = cov_yxᵀ  per pixel
+        A = jnp.linalg.solve(reg[..., None, :, :], cov_yx[..., :, :, None])[..., 0]
+        # shapes: reg (h,w,1,cx,cx) vs rhs (h,w,cy,cx,1) → A (h,w,cy,cx)
+    else:
+        var_x = _box_mean(x * x, r, N) - mean_x**2  # (h, w, c_x) diagonal
+        A = cov_yx / (var_x[..., None, :] + eps)
+
     b = mean_y - jnp.einsum("hwyx,hwx->hwy", A, mean_x)
 
     mean_A = _box_mean(A.reshape(h, w, c_y * c_x), r, N).reshape(h, w, c_y, c_x)
