@@ -187,3 +187,43 @@ class UnaryCache:
         out = fn()
         self.put(key, out)
         return out
+
+
+@dataclass
+class KITTIStereo2015:
+    """KITTI 2015 scene-flow layout (`Experiments/Untitled.ipynb` browsing
+    capability): root/{image_2,image_3,disp_occ_0,obj_map}/NNNNNN_10.png."""
+
+    root: str
+    downsize: int = 1
+
+    def __post_init__(self):
+        left_dir = Path(self.root) / "image_2"
+        self.frames = sorted(
+            p.stem for p in left_dir.glob("*_10.png")
+        ) if left_dir.exists() else []
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, idx: int):
+        frame = self.frames[idx]
+        root = Path(self.root)
+        item = {
+            "left": downsize_image(read_image(root / "image_2" / f"{frame}.png"), self.downsize),
+            "right": downsize_image(read_image(root / "image_3" / f"{frame}.png"), self.downsize),
+            "frame": frame,
+        }
+        disp_path = root / "disp_occ_0" / f"{frame}.png"
+        if disp_path.exists():
+            # KITTI encodes disparity as uint16 png / 256
+            from PIL import Image as _Image
+
+            raw = np.asarray(_Image.open(disp_path), np.float64) / 256.0
+            item["disparity"] = raw[:: self.downsize, :: self.downsize] / self.downsize
+        obj_path = root / "obj_map" / f"{frame}.png"
+        if obj_path.exists():
+            from PIL import Image as _Image
+
+            item["obj_map"] = np.asarray(_Image.open(obj_path))[:: self.downsize, :: self.downsize]
+        return item

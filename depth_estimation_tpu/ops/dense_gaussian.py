@@ -92,3 +92,15 @@ def gaussian_weights_normalized(ref: jax.Array) -> jax.Array:
     D = W @ jnp.ones((n,), dtype=ref.dtype)
     dinv = 1.0 / jnp.sqrt(D)
     return dinv[:, None] * W * dinv[None, :] - eye
+
+
+def affinity_row(ref: jax.Array, i, normalize: bool = True) -> jax.Array:
+    """One row of the (optionally degree-normalized) affinity matrix —
+    the interactive edge-weight-explorer primitive (`lazy_W`,
+    `crf/crf_module.py:22-30`): W[i, :] = exp(-‖ref_i − ref_j‖²), divided
+    by sqrt(degree_i) when `normalize`."""
+    sq = ((ref - ref[i]) ** 2).sum(-1)
+    a = jnp.exp(-sq)
+    if normalize:
+        a = a / jnp.sqrt(jnp.maximum(a.sum() - 1.0, 1e-12))
+    return a
