@@ -18,9 +18,47 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _supervised_main() -> int:
+    """Run the benchmark in a worker subprocess with retries.
+
+    The TPU backend in this container initializes through a remote relay
+    that intermittently blocks forever (~50% of process starts). The
+    parent re-execs itself as a worker with a timeout and retries, so a
+    single `python bench.py` invocation is wedge-resistant.
+    """
+    env = dict(os.environ, DET_BENCH_WORKER="1")
+    for attempt in range(4):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+                env=env,
+                timeout=720,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench worker timed out (attempt {attempt + 1})", file=sys.stderr)
+            continue
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        print(
+            f"bench worker failed rc={proc.returncode} (attempt {attempt + 1}):\n"
+            + proc.stderr[-2000:],
+            file=sys.stderr,
+        )
+    return 1
 
 
 def main():
@@ -33,6 +71,8 @@ def main():
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dense-baseline", action="store_true",
                     help="also time the dense O(n²) oracle for vs_baseline")
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="run in-process (no wedge-watchdog subprocess)")
     args = ap.parse_args()
 
     import jax
@@ -111,4 +151,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DET_BENCH_WORKER") == "1" or "--no-supervise" in sys.argv:
+        main()
+    else:
+        sys.exit(_supervised_main())

@@ -1,0 +1,88 @@
+"""Pallas TPU kernel: fused multi-axis lattice blur.
+
+The XLA formulation of the blur (`ops.permutohedral._blur`) issues d+1
+sequential gather-axpy passes, each round-tripping the (C, L) value table
+through HBM — ~6×3 table transfers per filter. At flagship capacity the
+whole table is ~1 MB (C=16k, L=16, f32) and the neighbor index table
+~0.8 MB: both fit comfortably in VMEM. This kernel keeps the table
+on-chip for ALL d+1 axes — one HBM read of the inputs, one write of the
+result, zero intermediate traffic.
+
+Kernel I/O:
+  vals      (C+1, L)  f32   value table (+ zero sentinel row C)
+  neighbors (d+1, C, 2) i32 blur neighbor slots (C = missing)
+  out       (C+1, L)  f32
+
+`reverse` flips the axis order (transpose filter, used by the VJP).
+
+Falls back transparently: `blur_fused(plan, vals)` checks the VMEM budget
+and returns None when the table is too large for on-chip residency —
+callers then use the XLA path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is part of jax, but guard import for exotic builds
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_OK = True
+except Exception:  # pragma: no cover
+    PALLAS_OK = False
+
+__all__ = ["blur_fused", "VMEM_BUDGET_BYTES"]
+
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
+
+
+def _blur_kernel(vals_ref, nbr_ref, out_ref, scratch, *, num_axes, reverse):
+    # load the full table into scratch; ping-pong between scratch and out
+    scratch[...] = vals_ref[...]
+    C = nbr_ref.shape[1]
+
+    axes = range(num_axes - 1, -1, -1) if reverse else range(num_axes)
+    use_scratch_src = True
+    for j in axes:
+        src = scratch if use_scratch_src else out_ref
+        dst = out_ref if use_scratch_src else scratch
+        n1 = nbr_ref[j, :, 0]
+        n2 = nbr_ref[j, :, 1]
+        table = src[...]
+        v1 = jnp.take(table, n1, axis=0)
+        v2 = jnp.take(table, n2, axis=0)
+        dst[0:C, :] = table[0:C, :] + 0.5 * (v1 + v2)
+        dst[C, :] = jnp.zeros_like(table[C, :])
+        use_scratch_src = not use_scratch_src
+
+    # ensure the final data lands in out_ref
+    if use_scratch_src:  # even number of passes → result in scratch
+        out_ref[...] = scratch[...]
+
+
+def blur_fused(plan, vals: jax.Array, reverse: bool = False, interpret: bool = False):
+    """Fused blur through all axes; returns None if not applicable."""
+    if not PALLAS_OK:
+        return None
+    num_axes = plan.d + 1
+    C1, L = vals.shape
+    table_bytes = C1 * L * vals.dtype.itemsize
+    nbr_bytes = plan.neighbors.size * 4
+    if 3 * table_bytes + nbr_bytes > VMEM_BUDGET_BYTES:
+        return None
+
+    kernel = partial(_blur_kernel, num_axes=num_axes, reverse=reverse)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(vals.shape, vals.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(vals.shape, vals.dtype)],
+        interpret=interpret,
+    )(vals, plan.neighbors)

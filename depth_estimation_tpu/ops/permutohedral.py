@@ -453,16 +453,36 @@ def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
     return out / (1.0 + 2.0 ** (-d))
 
 
-def apply_plan(plan: PermutohedralPlan, src: jax.Array, reverse: bool = False) -> jax.Array:
+def apply_plan(
+    plan: PermutohedralPlan,
+    src: jax.Array,
+    reverse: bool = False,
+    use_pallas: bool | None = None,
+) -> jax.Array:
     """Filter (n, L) values through a prebuilt plan. Linear in `src`.
 
     `reverse=True` applies the transposed filter (blur axes in reverse
     order), used for the ∂src VJP — the splat/slice pair is already
     symmetric (same slots and weights).
+
+    `use_pallas`: route the blur through the fused VMEM-resident Pallas
+    kernel (`ops.pallas.lattice_blur`) when it fits on-chip. Default: the
+    DET_PALLAS_BLUR=1 environment opt-in (the Mosaic gather path is still
+    being qualified on hardware; the XLA path is always correct).
     """
+    import os
+
     vals = _splat(plan, src)
-    vals = _blur(plan, vals, reverse)
-    return _slice(plan, vals)
+    if use_pallas is None:
+        use_pallas = os.environ.get("DET_PALLAS_BLUR") == "1"
+    blurred = None
+    if use_pallas:
+        from .pallas.lattice_blur import blur_fused
+
+        blurred = blur_fused(plan, vals, reverse=reverse)
+    if blurred is None:
+        blurred = _blur(plan, vals, reverse)
+    return _slice(plan, blurred)
 
 
 # ---------------------------------------------------------------------------

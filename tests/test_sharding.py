@@ -138,3 +138,27 @@ def test_data_parallel_grads_match_single_device(rng):
         )(w0, X, y)
     )
     np.testing.assert_allclose(g_dp, g_single, rtol=1e-10, atol=1e-12)
+
+
+def test_tiled_stereo_pipeline_matches_untiled(rng):
+    from depth_estimation_tpu.models.pipeline import CRFStereoConfig, crf_stereo_infer
+    from depth_estimation_tpu.parallel.stereo_tiled import crf_stereo_infer_tiled
+    from depth_estimation_tpu.data.synthetic import make_stereo_pair
+
+    left, right, _ = make_stereo_pair(np.random.RandomState(5), h=64, w=48, max_disp=6)
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    cfg = CRFStereoConfig(num_disp=8, niters=3, sigma_pos=0.05)
+    mesh = make_mesh(data=1, tile=4)
+
+    untiled = np.asarray(crf_stereo_infer(left, right, cfg)["disparity"])
+    tiled = np.asarray(
+        jax.jit(
+            lambda l, r: crf_stereo_infer_tiled(l, r, cfg, mesh, halo=16)
+        )(left, right)
+    )
+    assert tiled.shape == untiled.shape
+    # interior agreement (outer image edges see different zero-padding)
+    diff = np.abs(tiled[8:-8] - untiled[8:-8])
+    assert diff.mean() < 0.1, diff.mean()
+    assert np.median(diff) < 0.02

@@ -50,7 +50,7 @@ def test_spectral_segment_two_region_image():
     img[:, w // 2 :] = [0.1, 0.1, 0.9]
     img += rng.randn(h, w, 3) * 0.02
     labels = np.asarray(
-        spectral_segment(jnp.asarray(img, jnp.float32), num_segments=2, num_eigs=3,
+        spectral_segment(jnp.asarray(img, jnp.float32), num_segments=2, num_eigs=2,
                          sigma_color=0.3, sigma_pos=10.0)
     )
     left_mode = np.bincount(labels[:, : w // 2].ravel()).argmax()
