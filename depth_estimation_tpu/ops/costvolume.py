@@ -134,3 +134,25 @@ def expected_disparity(logits: jax.Array, labels: jax.Array | None = None) -> ja
     if labels is None:
         labels = jnp.arange(logits.shape[-1], dtype=logits.dtype)
     return probs @ labels
+
+
+def ncc_template_disparity(img: jax.Array, template: jax.Array) -> jax.Array:
+    """Template-match disparity by cross-correlation (`NCC_disp`,
+    `crf/depth.py:55-62` semantics): valid-mode correlation of a template
+    patch against the image, reduced over channels, peak column folded to
+    min(j, w−j)."""
+    th, tw = template.shape[:2]
+    h, w = img.shape[:2]
+    # valid-mode correlation via conv: flip template
+    kern = template[::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        img.transpose(2, 0, 1)[None],  # NCHW with channels as batch-feature
+        kern.transpose(2, 0, 1)[:, None][: img.shape[2]],  # OIHW depthwise-ish
+        (1, 1),
+        "VALID",
+        feature_group_count=img.shape[2],
+    )[0]
+    reduced = jnp.linalg.norm(out, axis=0)
+    flat = jnp.argmax(reduced)
+    j = flat % reduced.shape[1]
+    return jnp.minimum(j, w - j)

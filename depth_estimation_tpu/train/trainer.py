@@ -102,23 +102,31 @@ class Trainer:
         iterable; logs loss and periodic eval metrics."""
         it = iter(batches)
         t0 = time.time()
-        for i in range(num_steps):
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(batches)
-                batch = next(it)
-            state, loss = self._update(state, batch)
-            if (i + 1) % self.log_every == 0 or i == num_steps - 1:
-                self._log(
-                    {
-                        "step": int(state.step),
-                        "loss": float(loss),
-                        "steps_per_s": (i + 1) / (time.time() - t0),
-                    }
-                )
-            if eval_batches is not None and (i + 1) % eval_every == 0:
-                self.evaluate(state, eval_batches)
+        try:
+            for i in range(num_steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(batches)
+                    batch = next(it)
+                state, loss = self._update(state, batch)
+                if (i + 1) % self.log_every == 0 or i == num_steps - 1:
+                    self._log(
+                        {
+                            "step": int(state.step),
+                            "loss": float(loss),
+                            "steps_per_s": (i + 1) / (time.time() - t0),
+                        }
+                    )
+                if eval_batches is not None and (i + 1) % eval_every == 0:
+                    self.evaluate(state, eval_batches)
+        except KeyboardInterrupt:
+            # SIGINT-save semantics of the reference trainer
+            # (`train_net_step.py` saves a checkpoint in its finally block)
+            if self.log_dir:
+                self.save(state, name="interrupt")
+                self._log({"step": int(state.step), "interrupted": True})
+            raise
         return state
 
     def evaluate(self, state: TrainState, batches) -> dict:

@@ -51,3 +51,22 @@ def test_expected_disparity_decode():
     logits = jnp.asarray([[10.0, 0.0, 0.0], [0.0, 0.0, 10.0]])
     out = np.asarray(expected_disparity(logits))
     np.testing.assert_allclose(out, [0.0, 2.0], atol=1e-3)
+
+
+def test_ncc_template_disparity_finds_patch(rng):
+    from depth_estimation_tpu.ops.costvolume import ncc_template_disparity
+
+    img = jnp.asarray(rng.rand(32, 64, 3))
+    template = img[10:18, 5:13]
+    j = int(ncc_template_disparity(img, template))
+    assert 0 <= j <= 32
+
+
+def test_count_vertices_and_capacity(rng):
+    from depth_estimation_tpu.ops.permutohedral import count_vertices, suggest_capacity
+
+    ref = jnp.asarray(rng.randn(200, 2))
+    occ = int(count_vertices(ref))
+    assert 1 <= occ <= 600
+    cap = suggest_capacity(ref, headroom=2.0)
+    assert cap >= 2 * occ * 0.99 and (cap & (cap - 1)) == 0  # pow2
