@@ -237,3 +237,39 @@ def roi_pool_max(
     x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
     vals = features[y0, x0]  # nearest-cell sample (max-pool is cell-based)
     return vals.max(axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("output_size",))
+def roi_crop(
+    features: jax.Array,
+    boxes: jax.Array,
+    output_size: tuple[int, int] = (7, 7),
+    spatial_scale: float = 1.0,
+) -> jax.Array:
+    """STN-style bilinear ROI crop (capability of
+    `mask-rcnn.pytorch/lib/model/roi_crop/src/roi_crop_cuda_kernel.cu` +
+    `gridgen.py` affine grids): sample a regular (ph × pw) grid of exact
+    bilinear taps spanning each box — one sample per output cell (vs
+    ROI-Align's averaged sub-samples)."""
+    h, w, c = features.shape
+    ph, pw = output_size
+    scaled = boxes * spatial_scale
+    x1, y1, x2, y2 = scaled[:, 0], scaled[:, 1], scaled[:, 2], scaled[:, 3]
+    ys = y1[:, None] + (jnp.arange(ph) + 0.5) / ph * jnp.maximum(y2 - y1, 1.0)[:, None]
+    xs = x1[:, None] + (jnp.arange(pw) + 0.5) / pw * jnp.maximum(x2 - x1, 1.0)[:, None]
+    yy = ys[:, :, None]
+    xx = xs[:, None, :]
+    yy, xx = jnp.broadcast_arrays(yy, xx)  # (R, ph, pw)
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0 + 1, 0, h - 1)
+    x1i = jnp.clip(x0 + 1, 0, w - 1)
+    wy = yy - jnp.floor(yy)
+    wx = xx - jnp.floor(xx)
+    out = (
+        features[y0, x0] * ((1 - wy) * (1 - wx))[..., None]
+        + features[y0, x1i] * ((1 - wy) * wx)[..., None]
+        + features[y1i, x0] * (wy * (1 - wx))[..., None]
+        + features[y1i, x1i] * (wy * wx)[..., None]
+    )
+    return out

@@ -107,3 +107,16 @@ def test_composite_mask_depth(rng):
     assert (out[0, 0] == 0) and np.isfinite(out).all()
     # overlap region takes the later mask's value
     assert out[25, 35] == out[35, 45]
+
+
+def test_roi_crop_constant_and_gradient_fields():
+    from depth_estimation_tpu.ops.detection import roi_crop
+
+    feat = jnp.full((16, 16, 2), 3.0)
+    out = roi_crop(feat, jnp.asarray([[2.0, 2.0, 10.0, 10.0]]), (4, 4))
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-6)
+    xs = jnp.arange(32, dtype=jnp.float32)
+    ramp = jnp.broadcast_to(xs[None, :, None], (32, 32, 1))
+    out2 = np.asarray(roi_crop(ramp, jnp.asarray([[8.0, 8.0, 24.0, 24.0]]), (4, 4)))[0, 0, :, 0]
+    want = 8.0 + (np.arange(4) + 0.5) * 4.0
+    np.testing.assert_allclose(out2, want, rtol=1e-4)
