@@ -1,0 +1,85 @@
+"""COCO-format loading with synthetic fixtures (no downloads)."""
+import json
+
+import numpy as np
+import pytest
+
+from depth_estimation_tpu.data.coco import COCODetection, decode_rle, rasterize_polygon
+
+
+def test_rasterize_square():
+    poly = np.asarray([[2, 2], [8, 2], [8, 8], [2, 8]], float)
+    m = rasterize_polygon(poly, 12, 12)
+    assert m[5, 5] and not m[0, 0] and not m[10, 10]
+    assert 30 <= m.sum() <= 40  # ~6x6
+
+
+def test_rasterize_triangle_partial():
+    poly = np.asarray([[0, 0], [10, 0], [0, 10]], float)
+    m = rasterize_polygon(poly, 12, 12)
+    assert m[1, 1] and not m[9, 9]
+
+
+def test_decode_rle_roundtrip():
+    h, w = 4, 3
+    mask = np.zeros((h, w), bool)
+    mask[1:3, 1] = True
+    # encode column-major
+    flat = mask.T.reshape(-1)
+    counts, run, val = [], 0, False
+    for v in flat:
+        if v == val:
+            run += 1
+        else:
+            counts.append(run)
+            run, val = 1, v
+    counts.append(run)
+    np.testing.assert_array_equal(decode_rle(counts, h, w), mask)
+
+
+@pytest.fixture()
+def coco_fixture(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for i in range(2):
+        h, w = 32, 40
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+        images.append({"id": i + 10, "file_name": f"{i}.png", "height": h, "width": w})
+        annotations.append(
+            {
+                "id": 100 + i,
+                "image_id": i + 10,
+                "category_id": 7 if i == 0 else 3,
+                "bbox": [4, 4, 12, 10],
+                "segmentation": [[4, 4, 16, 4, 16, 14, 4, 14]],
+                "iscrowd": 0,
+            }
+        )
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 3, "name": "cat"}, {"id": 7, "name": "dog"}],
+    }
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps(ann))
+    return str(img_dir), str(ann_path)
+
+
+def test_coco_dataset(coco_fixture):
+    root, ann = coco_fixture
+    ds = COCODetection(root, ann)
+    assert len(ds) == 2
+    assert ds.num_classes == 3  # bg + 2
+    item = ds[0]
+    assert item["image"].shape == (32, 40, 3)
+    np.testing.assert_allclose(item["boxes"], [[4, 4, 16, 14]])
+    assert item["classes"][0] == ds.cat_to_contiguous[7] == 2  # sorted [3, 7]
+    assert item["masks"].shape == (1, 32, 40)
+    assert item["masks"][0, 8, 8] and not item["masks"][0, 30, 30]
+    assert ds.class_names[2] == "dog"
