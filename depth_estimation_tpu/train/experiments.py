@@ -29,7 +29,13 @@ from ..ops.permutohedral import build_plan, lattice_filter_planned
 from ..crf.guides import pixel_coords
 from ..train.metrics import masked_mse
 
-__all__ = ["trainable_crf_init", "trainable_crf_forward", "train_tsukuba_crf"]
+__all__ = [
+    "trainable_crf_init",
+    "trainable_crf_forward",
+    "train_tsukuba_crf",
+    "train_detection_shapes",
+    "train_upsampler",
+]
 
 
 def trainable_crf_init(
@@ -130,4 +136,141 @@ def train_tsukuba_crf(
         history["loss"].append(float(loss))
     history["mse_before"] = mse_before
     history["mse_after"] = float(loss_fn(params))
+    return params, history
+
+
+def train_detection_shapes(
+    num_steps: int = 50,
+    num_items: int = 8,
+    h: int = 64,
+    lr: float = 1e-3,
+    eval_every: int | None = None,
+    seed: int = 0,
+    model_kwargs: dict | None = None,
+):
+    """Train the detection family on the procedural shapes dataset and
+    evaluate mAP@0.5 (the reference's shapes-train protocol,
+    `Mask_RCNN/samples/shapes/shapes.py` train/eval loop at library scale).
+
+    Returns (params, history) with history['loss'] and history['map50'].
+    """
+    import optax
+
+    from ..data.shapes import NUM_CLASSES, ShapesDetection
+    from ..models.detection.losses import roi_losses, rpn_losses
+    from ..models.detection.rcnn import MaskRCNN
+    from ..train.eval_detection import compute_ap
+
+    ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
+    items = [ds.padded(i) for i in range(num_items)]
+    kwargs = dict(
+        num_classes=NUM_CLASSES, blocks=(1, 1, 1, 1), fpn_dim=32,
+        num_proposals=32, num_detections=8, score_thresh=-1.0,
+    )
+    kwargs.update(model_kwargs or {})
+    model = MaskRCNN(**kwargs)
+    key = jax.random.PRNGKey(seed)
+    img0 = jnp.asarray(items[0]["image"], jnp.float32)
+    params = model.init(key, img0, train=True)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, image, boxes, cls, valid):
+        out = model.apply(params, image, train=True)
+        rpn_cls, rpn_reg = rpn_losses(
+            out["rpn_logits"], out["rpn_deltas"], out["anchors"], boxes, valid
+        )
+        roi_cls, roi_reg, *_ = roi_losses(
+            out["cls_scores"], out["cls_deltas"], out["proposals"],
+            out["proposal_valid"], boxes, cls, valid,
+        )
+        return rpn_cls + rpn_reg + roi_cls + roi_reg
+
+    @jax.jit
+    def step(params, opt_state, image, boxes, cls, valid):
+        loss, grads = jax.value_and_grad(loss_fn)(params, image, boxes, cls, valid)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = {"loss": [], "map50": None}
+    for i in range(num_steps):
+        item = items[i % num_items]
+        params, opt_state, loss = step(
+            params, opt_state,
+            jnp.asarray(item["image"], jnp.float32),
+            jnp.asarray(item["boxes_padded"]),
+            jnp.asarray(item["classes_padded"]),
+            jnp.asarray(item["gt_valid"]),
+        )
+        history["loss"].append(float(loss))
+
+    # mAP@0.5 over the training set (shapes protocol evaluates in-domain)
+    infer = jax.jit(lambda p, im: model.apply(p, im, train=False))
+    aps = []
+    for item in items:
+        out = infer(params, jnp.asarray(item["image"], jnp.float32))
+        valid = np.asarray(out["valid"])
+        ap, _, _ = compute_ap(
+            np.asarray(out["boxes"])[valid],
+            np.asarray(out["classes"])[valid],
+            np.asarray(out["scores"])[valid],
+            item["boxes"],
+            item["classes"],
+        )
+        aps.append(ap)
+    history["map50"] = float(np.mean(aps))
+    return params, history
+
+
+def train_upsampler(
+    items: list,
+    num_steps: int = 100,
+    lr: float = 3e-3,
+    niters: int = 1,
+    r: int = 5,
+    seed: int = 0,
+):
+    """Depth-upsampling training (`crf/mb_stereo_crf.py:165-181` protocol:
+    Adam(3e-3, betas=(.9,.9)), masked L1 on gt>0).
+
+    Args:
+      items: list of dicts with 'disp_lowres' (hl, wl), 'image' (h, w, 3),
+        'disparity' (h, w) — the `MiddleburyStereo2005` item contract (or
+        synthetic equivalents).
+
+    Returns (params, history with per-step loss + before/after masked L1).
+    """
+    from ..models.refiner import upsampler_apply, upsampler_init
+    from ..train.metrics import masked_l1
+
+    params = upsampler_init()
+    opt = optax.adam(lr, b1=0.9, b2=0.9)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, low, img, gt):
+        out = upsampler_apply(p, low, img, niters=niters, r=r)
+        return masked_l1(out, gt)
+
+    @jax.jit
+    def step(p, o, low, img, gt):
+        loss, grads = jax.value_and_grad(loss_fn)(p, low, img, gt)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    def as_batch(item):
+        return (
+            jnp.asarray(item["disp_lowres"], jnp.float32),
+            jnp.asarray(item["image"], jnp.float32),
+            jnp.asarray(item["disparity"], jnp.float32),
+        )
+
+    batches = [as_batch(it) for it in items]
+    before = float(np.mean([float(loss_fn(params, *b)) for b in batches]))
+    history = {"loss": []}
+    for i in range(num_steps):
+        low, img, gt = batches[i % len(batches)]
+        params, opt_state, loss = step(params, opt_state, low, img, gt)
+        history["loss"].append(float(loss))
+    history["l1_before"] = before
+    history["l1_after"] = float(np.mean([float(loss_fn(params, *b)) for b in batches]))
     return params, history

@@ -74,3 +74,21 @@ def test_cosine_lr_schedule():
     assert float(sched(0)) == 1.0
     assert float(sched(100)) < 1e-6
     assert 0.4 < float(sched(50)) < 0.6
+
+
+def test_upsampler_training_improves_l1():
+    from depth_estimation_tpu.train.experiments import train_upsampler
+
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(2):
+        left, _, disp = make_stereo_pair(np.random.RandomState(i), h=32, w=48, max_disp=6)
+        disp = disp + 1.0  # all-valid
+        items.append({
+            "disp_lowres": disp[::4, ::4],
+            "image": left.astype(np.float32),
+            "disparity": disp.astype(np.float32),
+        })
+    params, hist = train_upsampler(items, num_steps=15, niters=1, r=3)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["l1_after"] < hist["l1_before"], hist
