@@ -1,0 +1,65 @@
+"""CLI: train the detection family (shapes by default, COCO-format if given).
+
+  python -m depth_estimation_tpu.apps.train_detect [--steps 200]
+      [--coco-root imgs/ --coco-ann ann.json] [--out params.msgpack]
+
+Trains MaskRCNN (RPN + box head losses) and reports mAP@0.5. Without a
+COCO dataset it uses the procedural shapes fixtures (the reference's
+shapes-train protocol).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--items", type=int, default=8)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--coco-root", default=None)
+    ap.add_argument("--coco-ann", default=None)
+    ap.add_argument("--out", default=None, help="flax msgpack params path")
+    ap.add_argument("--device", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from ..train.experiments import train_detection_shapes
+
+    if args.coco_root and args.coco_ann:
+        raise SystemExit(
+            "COCO training loop lands in a later milestone; the loader "
+            "(data.coco.COCODetection) is ready — use the library API."
+        )
+
+    params, hist = train_detection_shapes(
+        num_steps=args.steps, num_items=args.items, h=args.size, lr=args.lr
+    )
+    if args.out:
+        import flax.serialization as ser
+
+        with open(args.out, "wb") as f:
+            f.write(ser.to_bytes(params))
+    print(
+        json.dumps(
+            {
+                "steps": args.steps,
+                "loss_first": hist["loss"][0],
+                "loss_last": hist["loss"][-1],
+                "map50": hist["map50"],
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

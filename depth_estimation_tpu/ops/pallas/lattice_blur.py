@@ -42,20 +42,30 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
 def _blur_kernel(vals_ref, nbr_ref, out_ref, scratch, *, num_axes, reverse):
     # load the full table into scratch; ping-pong between scratch and out
     scratch[...] = vals_ref[...]
-    C = nbr_ref.shape[1]
+    C1, L = vals_ref.shape
+    C = C1 - 1
 
     axes = range(num_axes - 1, -1, -1) if reverse else range(num_axes)
     use_scratch_src = True
     for j in axes:
         src = scratch if use_scratch_src else out_ref
         dst = out_ref if use_scratch_src else scratch
-        n1 = nbr_ref[j, :, 0]
-        n2 = nbr_ref[j, :, 1]
+        # Mosaic's gather support is take_along_axis-shaped: indices must
+        # match the table shape (per-lane row gather, tpu.dynamic_gather
+        # along dim 0). Broadcast the neighbor row ids across lanes and pad
+        # with the sentinel row so all shapes equal (C+1, L).
+        n1 = jnp.concatenate([nbr_ref[j, :, 0], jnp.full((1,), C, jnp.int32)])
+        n2 = jnp.concatenate([nbr_ref[j, :, 1], jnp.full((1,), C, jnp.int32)])
+        idx1 = jax.lax.broadcast_in_dim(n1, (C1, L), (0,))
+        idx2 = jax.lax.broadcast_in_dim(n2, (C1, L), (0,))
         table = src[...]
-        v1 = jnp.take(table, n1, axis=0)
-        v2 = jnp.take(table, n2, axis=0)
-        dst[0:C, :] = table[0:C, :] + 0.5 * (v1 + v2)
-        dst[C, :] = jnp.zeros_like(table[C, :])
+        v1 = jnp.take_along_axis(table, idx1, axis=0)
+        v2 = jnp.take_along_axis(table, idx2, axis=0)
+        row_is_sentinel = (
+            jax.lax.broadcasted_iota(jnp.int32, (C1, L), 0) == C
+        )
+        new = table + 0.5 * (v1 + v2)
+        dst[...] = jnp.where(row_is_sentinel, jnp.zeros_like(new), new)
         use_scratch_src = not use_scratch_src
 
     # ensure the final data lands in out_ref
