@@ -18,6 +18,15 @@ Kernel I/O:
 Falls back transparently: `blur_fused(plan, vals)` checks the VMEM budget
 and returns None when the table is too large for on-chip residency —
 callers then use the XLA path.
+
+HARDWARE STATUS (v5e, 2026-08 toolchain): Mosaic rejects the in-kernel
+row gather with "Multiple source vregs along gather dimension" —
+tpu.dynamic_gather only gathers within a single vreg span, not across a
+16k-row table. The kernel is correct under interpret mode and stays
+opt-in (DET_PALLAS_BLUR=1) pending either (a) Mosaic gaining multi-vreg
+dynamic_gather or (b) a block-local reformulation (sort vertices so blur
+neighbors fall inside 8-sublane groups). The XLA blur path (~3.5 ms at
+flagship capacity) remains the production route; see ROADMAP.md.
 """
 from __future__ import annotations
 
