@@ -406,6 +406,32 @@ def suggest_capacity(ref, headroom: float = 2.0) -> int:
 # Apply: splat → blur → slice (linear in src)
 # ---------------------------------------------------------------------------
 
+_LANES = 128
+
+
+def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of a (R, L) table at integer indices of any shape.
+
+    TPU layouts pad the minor dimension to 128 lanes, so a naive row gather
+    of an L=16 table moves 8× the useful bytes. When pack = 128//L > 1 we
+    re-pack `pack` rows into each 128-lane row, gather row-groups at full
+    lane utilization, and select the target row with static slices + masks
+    (cheap VPU work on registers). Exactly equivalent to `table[idx]`.
+    """
+    R, L = table.shape
+    pack = max(1, _LANES // max(L, 1))
+    if pack == 1:
+        return table[idx]
+    G = -(-R // pack)
+    padded = jnp.pad(table, ((0, G * pack - R), (0, 0)))
+    packed = padded.reshape(G, pack * L)
+    g = idx // pack
+    k = idx % pack
+    rows = packed[g]  # (..., pack·L) — full-lane gather
+    segs = rows.reshape(idx.shape + (pack, L))
+    onehot = (k[..., None] == jnp.arange(pack)).astype(table.dtype)
+    return jnp.einsum("...p,...pl->...l", onehot, segs)
+
 
 def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     """(n, L) → (C+1, L) vertex values; row C is the zero sentinel.
@@ -417,7 +443,7 @@ def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     measured 10ms → ~1ms on the flagship config)."""
     C = plan.capacity
     L = src.shape[1]
-    contrib = plan.sorted_weight[:, None] * src[plan.sorted_pixel]
+    contrib = plan.sorted_weight[:, None] * _row_gather(src, plan.sorted_pixel)
     cs = jnp.cumsum(contrib, axis=0, dtype=jnp.promote_types(src.dtype, jnp.float32))
     cs = jnp.concatenate([jnp.zeros((1, L), cs.dtype), cs], axis=0)  # (N+1, L)
     lo = cs[plan.starts[:-1]]
@@ -430,8 +456,8 @@ def _blur_pass(vals: jax.Array, nbr: jax.Array) -> jax.Array:
     """One axis of the unnormalized [1/2, 1, 1/2] lattice blur
     (`permutohedral.h:524-526`, incl. Krähenbühl's factor 2)."""
     M = vals.shape[0] - 1
-    v1 = vals[nbr[:, 0]]
-    v2 = vals[nbr[:, 1]]
+    v1 = _row_gather(vals, nbr[:, 0])
+    v2 = _row_gather(vals, nbr[:, 1])
     new = vals[:M] + 0.5 * (v1 + v2)
     return vals.at[:M].set(new)
 
@@ -448,7 +474,7 @@ def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
     """Gather vertex values back to pixels with barycentric weights, scaled
     by the 1/(1+2^-d) constant (`permutohedral.h:480`)."""
     d = plan.d
-    gathered = vals[plan.slot]  # (n, d+1, L)
+    gathered = _row_gather(vals, plan.slot)  # (n, d+1, L)
     out = jnp.einsum("nk,nkl->nl", plan.bary, gathered)
     return out / (1.0 + 2.0 ** (-d))
 
