@@ -412,11 +412,13 @@ _LANES = 128
 def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows of a (R, L) table at integer indices of any shape.
 
-    TPU layouts pad the minor dimension to 128 lanes, so a naive row gather
-    of an L=16 table moves 8× the useful bytes. When pack = 128//L > 1 we
-    re-pack `pack` rows into each 128-lane row, gather row-groups at full
-    lane utilization, and select the target row with static slices + masks
-    (cheap VPU work on registers). Exactly equivalent to `table[idx]`.
+    TPU layouts pad the minor dimension to 128 lanes; re-packing `pack` =
+    128//L rows per lane-row lets the gather read at full utilization, at
+    the price of an 8×-wider gathered intermediate before the row select.
+    Measured on v5e: a WIN for the blur (table-to-table gathers, 3.6→3.0ms
+    per 6 passes) but a LOSS for pixel-side gathers whose outputs dominate
+    (slice 6.2→15.3ms) — so only the blur uses this. Exactly equivalent to
+    `table[idx]`.
     """
     R, L = table.shape
     pack = max(1, _LANES // max(L, 1))
@@ -443,7 +445,7 @@ def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     measured 10ms → ~1ms on the flagship config)."""
     C = plan.capacity
     L = src.shape[1]
-    contrib = plan.sorted_weight[:, None] * _row_gather(src, plan.sorted_pixel)
+    contrib = plan.sorted_weight[:, None] * src[plan.sorted_pixel]
     cs = jnp.cumsum(contrib, axis=0, dtype=jnp.promote_types(src.dtype, jnp.float32))
     cs = jnp.concatenate([jnp.zeros((1, L), cs.dtype), cs], axis=0)  # (N+1, L)
     lo = cs[plan.starts[:-1]]
@@ -474,7 +476,7 @@ def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
     """Gather vertex values back to pixels with barycentric weights, scaled
     by the 1/(1+2^-d) constant (`permutohedral.h:480`)."""
     d = plan.d
-    gathered = _row_gather(vals, plan.slot)  # (n, d+1, L)
+    gathered = vals[plan.slot]  # (n, d+1, L)
     out = jnp.einsum("nk,nkl->nl", plan.bary, gathered)
     return out / (1.0 + 2.0 ** (-d))
 
