@@ -87,7 +87,8 @@ def crf_rnn_apply(
         message_fn = lambda Q: guided_adjacency_apply(params["w"], Q, guide, r, subsample)
     elif backend == "lattice":
         ref = ijrgb_guide(params["w"], guide).reshape(h * w, -1)
-        plan = build_plan(jax.lax.stop_gradient(ref))
+        cap = min(1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1))
+        plan = build_plan(jax.lax.stop_gradient(ref), max_vertices=cap)
 
         def message_fn(Q):
             flat = Q.reshape(h * w, L)

@@ -476,8 +476,11 @@ def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
     """Gather vertex values back to pixels with barycentric weights, scaled
     by the 1/(1+2^-d) constant (`permutohedral.h:480`)."""
     d = plan.d
-    gathered = vals[plan.slot]  # (n, d+1, L)
-    out = jnp.einsum("nk,nkl->nl", plan.bary, gathered)
+    # accumulate corner-by-corner: 6 fused gather+axpy passes instead of
+    # materializing the (n, d+1, L) gathered tensor
+    out = plan.bary[:, 0, None] * vals[plan.slot[:, 0]]
+    for r in range(1, d + 1):
+        out = out + plan.bary[:, r, None] * vals[plan.slot[:, r]]
     return out / (1.0 + 2.0 ** (-d))
 
 

@@ -76,7 +76,8 @@ def trainable_crf_forward(
         axis=-1,
     )
     ref = guide.reshape(h * w, -1)
-    plan = build_plan(jax.lax.stop_gradient(ref))
+    cap = min(1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1))
+    plan = build_plan(jax.lax.stop_gradient(ref), max_vertices=cap)
 
     def message_fn(Q):
         flat = Q.reshape(h * w, L)
