@@ -4,9 +4,19 @@ Capability counterparts of the reference's two backbone stacks
 (`Mask_RCNN/mrcnn/model.py:171-211` `resnet_graph` and
 `mask-rcnn.pytorch/lib/modeling/ResNet.py:17-116` bodies;
 `lib/modeling/FPN.py:73-260` top-down+lateral). TPU-first choices:
-channels-last NHWC, GroupNorm instead of frozen BatchNorm (the reference
-freezes BN at train time anyway — GN gives the same train/infer parity
-without statistics plumbing), bf16-friendly.
+channels-last NHWC, bf16-friendly, two norm modes:
+
+- ``norm='gn'`` (default): GroupNorm — train-from-scratch mode, same
+  train/infer parity the reference gets by freezing BN
+  (`lib/modeling/ResNet.py:197-` GN variants).
+- ``norm='affine'``: frozen per-channel affine — exactly what Detectron
+  runs at train AND test time (`lib/nn/AffineChannel2d`, BN statistics
+  pre-folded); the target of pretrained-weight import
+  (`utils/weights.py`).
+
+Paddings are explicit and torch/Caffe2-aligned (stem 7×7 pad 3, 3×3
+convs pad 1, stem pool pad 1) so imported weights reproduce the source
+network's activations; identical output shapes to XLA SAME padding.
 
 Returns the C2..C5 pyramid; `FPN` produces P2..P6 at `out_dim` channels.
 """
@@ -18,30 +28,51 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ResNet", "FPN", "resnet50_fpn"]
+__all__ = ["AffineChannel", "ResNet", "FPN", "resnet50_fpn"]
+
+
+class AffineChannel(nn.Module):
+    """Per-channel scale·x + bias — frozen BatchNorm with the statistics
+    folded in (Detectron `AffineChannel2d` semantics)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+def _norm(kind: str):
+    if kind == "gn":
+        return nn.GroupNorm(num_groups=32)
+    if kind == "affine":
+        return AffineChannel()
+    raise ValueError(f"unknown norm {kind!r}")
 
 
 class Bottleneck(nn.Module):
     width: int
     stride: int = 1
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.width * 4
         residual = x
         y = nn.Conv(self.width, (1, 1), use_bias=False)(x)
-        y = nn.GroupNorm(num_groups=32)(y)
+        y = _norm(self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=32)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False)(y)
+        y = _norm(self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(out_dim, (1, 1), use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=32)(y)
+        y = _norm(self.norm)(y)
         if residual.shape[-1] != out_dim or self.stride != 1:
             residual = nn.Conv(out_dim, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False)(x)
-            residual = nn.GroupNorm(num_groups=32)(residual)
+            residual = _norm(self.norm)(residual)
         return nn.relu(y + residual)
 
 
@@ -50,21 +81,22 @@ class ResNet(nn.Module):
 
     blocks: Sequence[int] = (3, 4, 6, 3)
     base_width: int = 64
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):  # (1, h, w, 3) → [C2, C3, C4, C5]
-        y = nn.Conv(self.base_width, (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False)(x)
-        y = nn.GroupNorm(num_groups=32)(y)
+        y = nn.Conv(self.base_width, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False)(x)
+        y = _norm(self.norm)(y)
         y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats = []
         width = self.base_width
         for stage, nblocks in enumerate(self.blocks):
             stride = 1 if stage == 0 else 2
-            y = Bottleneck(width, stride=stride)(y)
+            y = Bottleneck(width, stride=stride, norm=self.norm)(y)
             for _ in range(nblocks - 1):
-                y = Bottleneck(width)(y)
+                y = Bottleneck(width, norm=self.norm)(y)
             feats.append(y)
             width *= 2
         return feats
@@ -91,10 +123,11 @@ class FPN(nn.Module):
 class ResNetFPN(nn.Module):
     blocks: Sequence[int] = (3, 4, 6, 3)
     out_dim: int = 256
+    norm: str = "gn"
 
     @nn.compact
     def __call__(self, x):
-        return FPN(self.out_dim)(ResNet(self.blocks)(x))
+        return FPN(self.out_dim)(ResNet(self.blocks, norm=self.norm)(x))
 
 
 def resnet50_fpn(out_dim: int = 256) -> ResNetFPN:

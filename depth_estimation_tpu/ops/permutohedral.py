@@ -102,6 +102,66 @@ def _canonical_simplex(d: int) -> np.ndarray:
     return c
 
 
+def _simplex_embed_cols(ref: jax.Array):
+    """Column-major simplex embedding — the lane-efficient core.
+
+    TPU layouts pad the minor dimension to 128 lanes, so any (n, d) or
+    (n, d+1) intermediate wastes >95% of every vector register at d≈5.
+    This variant keeps n (large) as the minor dim everywhere: measured
+    10.6 ms → ~1 ms for the embed stage of the flagship plan build.
+
+    Returns:
+      key_cols: list of d arrays, each (d+1, n) int32 — lattice coordinate
+        k of simplex remainder r for pixel i at [r, i].
+      bary_t: (d+1, n) barycentric weights (sum to 1 over axis 0).
+    """
+    n, d = ref.shape
+    E = jnp.asarray(_embedding_matrix(d), ref.dtype)
+    canonical = jnp.asarray(_canonical_simplex(d))
+
+    elevated = E @ ref.T  # (d+1, n)
+
+    # Greedy nearest multiple-of-(d+1) point (`permutohedral.h:391-402`).
+    v = elevated / (d + 1)
+    up = jnp.ceil(v) * (d + 1)
+    down = jnp.floor(v) * (d + 1)
+    greedy = jnp.where(up - elevated < elevated - down, up, down)
+    greedy = greedy.astype(jnp.int32)
+    coord_sum = jnp.sum(greedy, axis=0) // (d + 1)  # (n,) int
+
+    # Rank of the differential, descending, ties to lower index
+    # (`permutohedral.h:405-411`). O(d²) pairwise comparison — d is small.
+    diff = elevated - greedy  # (d+1, n)
+    gt = diff[:, None, :] < diff[None, :, :]  # [i, j, n] : diff_i < diff_j
+    idx = jnp.arange(d + 1)
+    tie = (diff[:, None, :] == diff[None, :, :]) & (idx[:, None, None] > idx[None, :, None])
+    rank = (gt | tie).sum(1).astype(jnp.int32)  # (d+1, n) in 0..d
+
+    # Walk back onto the hyperplane (`permutohedral.h:413-433`).
+    rank_s = rank + coord_sum[None, :]
+    too_high = rank_s >= d + 1
+    too_low = rank_s < 0
+    greedy = jnp.where(too_high, greedy - (d + 1), jnp.where(too_low, greedy + (d + 1), greedy))
+    rank = jnp.where(too_high, rank_s - (d + 1), jnp.where(too_low, rank_s + (d + 1), rank_s))
+
+    # Barycentric coordinates (`permutohedral.h:436-441`): scatter the
+    # sorted differentials into a (d+2)-vector via one-hot sums.
+    t = (elevated - greedy) / (d + 1)  # (d+1, n)
+    oh_lo = jax.nn.one_hot(d - rank, d + 2, dtype=t.dtype, axis=0)  # (d+2, d+1, n)
+    oh_hi = jax.nn.one_hot(d + 1 - rank, d + 2, dtype=t.dtype, axis=0)
+    bary_t = jnp.einsum("kn,bkn->bn", t, oh_lo - oh_hi)  # (d+2, n)
+    bary_t = bary_t.at[0].add(1.0 + bary_t[d + 1])
+    bary_t = bary_t[: d + 1]  # (d+1, n)
+
+    # Vertex keys (`permutohedral.h:444-447`): key_r[i] = greedy[i] +
+    # canonical[r, rank[i]], stored for the first d coordinates.
+    key_cols = []
+    for k in range(d):
+        cc = canonical[:, rank[k]]  # (d+1, n) — tiny-table gather
+        key_cols.append(greedy[k][None, :] + cc)
+    return key_cols, bary_t
+
+
 def simplex_embed(ref: jax.Array):
     """Embed features into the permutohedral hyperplane and locate the
     enclosing simplex.
@@ -114,52 +174,13 @@ def simplex_embed(ref: jax.Array):
       keys: (n, d+1, d) int32 lattice coordinates of the d+1 simplex
         vertices (first d coords; the last is determined by zero-sum).
       bary: (n, d+1) barycentric weights (sum to 1).
+
+    (Row-major convenience wrapper; `build_plan` uses the column-major
+    core directly to stay lane-efficient.)
     """
-    n, d = ref.shape
-    E = jnp.asarray(_embedding_matrix(d), ref.dtype)
-    canonical = jnp.asarray(_canonical_simplex(d))
-
-    elevated = ref @ E.T  # (n, d+1)
-
-    # Greedy nearest multiple-of-(d+1) point (`permutohedral.h:391-402`).
-    v = elevated / (d + 1)
-    up = jnp.ceil(v) * (d + 1)
-    down = jnp.floor(v) * (d + 1)
-    greedy = jnp.where(up - elevated < elevated - down, up, down)
-    greedy = greedy.astype(jnp.int32)
-    coord_sum = jnp.sum(greedy, axis=1) // (d + 1)  # (n,) int
-
-    # Rank of the differential, descending, ties to lower index
-    # (`permutohedral.h:405-411`). O(d²) pairwise comparison — d is small.
-    diff = elevated - greedy  # (n, d+1)
-    gt = diff[:, :, None] < diff[:, None, :]  # [i, j] : diff_i < diff_j
-    idx = jnp.arange(d + 1)
-    tie = (diff[:, :, None] == diff[:, None, :]) & (idx[None, :, None] > idx[None, None, :])
-    rank = (gt | tie).sum(-1).astype(jnp.int32)  # (n, d+1) in 0..d
-
-    # Walk back onto the hyperplane (`permutohedral.h:413-433`).
-    s = coord_sum[:, None]
-    rank_s = rank + s
-    too_high = rank_s >= d + 1
-    too_low = rank_s < 0
-    greedy = jnp.where(too_high, greedy - (d + 1), jnp.where(too_low, greedy + (d + 1), greedy))
-    rank = jnp.where(too_high, rank_s - (d + 1), jnp.where(too_low, rank_s + (d + 1), rank_s))
-
-    # Barycentric coordinates (`permutohedral.h:436-441`): scatter the
-    # sorted differentials into a (d+2)-vector via one-hot sums.
-    t = (elevated - greedy) / (d + 1)  # (n, d+1)
-    oh_lo = jax.nn.one_hot(d - rank, d + 2, dtype=t.dtype)  # bary[d-rank] += t
-    oh_hi = jax.nn.one_hot(d + 1 - rank, d + 2, dtype=t.dtype)  # bary[d+1-rank] -= t
-    bary = jnp.einsum("nk,nkb->nb", t, oh_lo - oh_hi)
-    bary = bary.at[:, 0].add(1.0 + bary[:, d + 1])
-    bary = bary[:, : d + 1]  # (n, d+1)
-
-    # Vertex keys (`permutohedral.h:444-447`): key_r[i] = greedy[i] +
-    # canonical[r, rank[i]], stored for the first d coordinates.
-    can = canonical[:, rank]  # (d+1, n, d+1) — canonical[r, rank[n, i]]
-    keys = greedy[None, :, :d] + jnp.transpose(can, (0, 1, 2))[:, :, :d]
-    keys = jnp.transpose(keys, (1, 0, 2))  # (n, d+1, d)
-    return keys, bary
+    key_cols, bary_t = _simplex_embed_cols(ref)
+    keys = jnp.stack(key_cols, axis=0).transpose(2, 1, 0)  # (n, d+1, d)
+    return keys, bary_t.T
 
 
 # ---------------------------------------------------------------------------
@@ -198,17 +219,17 @@ class PermutohedralPlan(NamedTuple):
 _HASH_MULT = jnp.int32(-1900272385)  # 0x8da6b343 — odd multiplicative mixer
 
 
-def _hash_keys(keys: jax.Array) -> jax.Array:
-    """Multiplicative fold of (…, d) int32 coords → int32 hash.
+def _hash_cols(cols) -> jax.Array:
+    """Multiplicative fold of d same-shape int32 coordinate arrays → hash.
 
     Same scheme as the reference's short-key fold (`permutohedral.h:109-116`),
     32-bit; quality only affects probe count — every probe verifies the
-    full key by gather+compare.
+    full key by gather+compare. Column form: no (…, d) minor dim, so no
+    lane padding.
     """
-    d = keys.shape[-1]
-    h = jnp.zeros(keys.shape[:-1], jnp.int32)
-    for k in range(d):
-        h = (h + keys[..., k]) * _HASH_MULT
+    h = jnp.zeros(cols[0].shape, jnp.int32)
+    for c in cols:
+        h = (h + c) * _HASH_MULT
         h = h ^ (h >> 13)
     return h
 
@@ -217,19 +238,78 @@ _INSERT_ROUNDS = 16  # fixed probe rounds; unique keys at load ≤ 0.5 need ~2
 _PROBE_ROUNDS = 16
 
 
-def _lex_sort_rows(cols: tuple[jax.Array, ...], payload: jax.Array):
-    """Lexicographic row sort via column-radix of stable single-key sorts
-    (least-significant column first). Multi-operand `lax.sort` with
-    num_keys=d compiles to a slow comparator loop on TPU; d stable
-    single-key sorts are each near-bandwidth."""
+def _sort_rows(cols, extras=()):
+    """Stable lexicographic row argsort of d parallel (N,) int32 columns,
+    carrying `extras` payload arrays through the sorts.
+
+    TPU cost model (measured on v5e, N=663k): extra payload operands in
+    `lax.sort` cost ~0.35 ms each per pass, while a post-hoc random 1-D
+    gather from an HBM-resident (N,) table costs ~13 ms — so everything
+    needed in sorted order rides the sort as payload, and NOTHING is
+    gathered afterwards.
+
+    Fast path: pack the d columns into TWO int32 surrogate keys by
+    dynamic-stride mixed-radix packing (per-column min subtracted, strides
+    = column ranges) and run 2 stable sorts — exact whenever each half's
+    range product fits in 31 bits, which holds for every practical
+    bilateral/feature guide (lattice coords span tens of cells per axis).
+    The fit test is data-dependent, so the exact d-sort fallback rides a
+    `lax.cond`; under `vmap` the cond degrades to running both branches,
+    which only costs the batched path the old price.
+
+    Returns (order, row_changed, sorted_extras):
+      order: (N,) int32 — entry id of the k-th row in lexicographic order
+        (stable: ties keep ascending entry order).
+      row_changed: (N-1,) bool — sorted row k differs from row k-1.
+      sorted_extras: the payloads, permuted by `order`.
+    """
     d = len(cols)
-    arrays = list(cols) + [payload]
-    for k in range(d - 1, -1, -1):
-        key = arrays[k]
-        rest = arrays[:k] + arrays[k + 1 :]
-        out = jax.lax.sort((key, *rest), num_keys=1, is_stable=True)
-        arrays = list(out[1 : k + 1]) + [out[0]] + list(out[k + 1 :])
-    return arrays[:d], arrays[d]
+    N = cols[0].shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    mins = [c.min() for c in cols]
+    shifted = [c - m for c, m in zip(cols, mins)]
+
+    def lex(_):
+        # column radix of stable single-key sorts, least-significant
+        # column first (multi-key lax.sort compiles to a slow comparator
+        # loop on TPU; d single-key sorts are each near-bandwidth)
+        arrays = list(shifted) + [iota] + list(extras)
+        for k in range(d - 1, -1, -1):
+            key = arrays[k]
+            rest = arrays[:k] + arrays[k + 1 :]
+            out = jax.lax.sort((key, *rest), num_keys=1, is_stable=True)
+            arrays = list(out[1 : k + 1]) + [out[0]] + list(out[k + 1 :])
+        scols = arrays[:d]
+        rc = scols[0][1:] != scols[0][:-1]
+        for c in scols[1:]:
+            rc = rc | (c[1:] != c[:-1])
+        return (arrays[d], rc, tuple(arrays[d + 1 :]))
+
+    if d <= 2:
+        return lex(None)
+
+    m = (d + 1) // 2
+    rng = [s.max() + 1 for s in shifted]  # traced int32 column ranges
+    logr = jnp.log2(jnp.stack(rng).astype(jnp.float32))
+    fits = (jnp.sum(logr[:m]) < 30.9) & (jnp.sum(logr[m:]) < 30.9)
+
+    def packed(_):
+        def pack(lo, hi):
+            key = shifted[lo]
+            for k in range(lo + 1, hi):
+                key = key * rng[k] + shifted[k]
+            return key
+
+        k_hi, k_lo = pack(0, m), pack(m, d)
+        # LSD radix: stable sort by the low key, then by the high key;
+        # the other key and all payloads ride along (no gathers).
+        out1 = jax.lax.sort((k_lo, k_hi, iota, *extras), num_keys=1, is_stable=True)
+        out2 = jax.lax.sort(out1[1:2] + out1[:1] + out1[2:], num_keys=1, is_stable=True)
+        k_hi2, k_lo2, order = out2[0], out2[1], out2[2]
+        rc = (k_hi2[1:] != k_hi2[:-1]) | (k_lo2[1:] != k_lo2[:-1])
+        return (order, rc, tuple(out2[3:]))
+
+    return jax.lax.cond(fits, packed, lex, None)
 
 
 def build_plan(ref: jax.Array, max_vertices: int | None = None) -> PermutohedralPlan:
@@ -254,19 +334,25 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
         pass pow2 ≥ 2·expected-occupancy for speed — natural-image
         bilateral guides occupy ~0.04-0.7n). Overflow routes to the zero
         sentinel (soft degrade, visible as num_valid > capacity).
+
+    Layout note: every intermediate is either 1-D of length N/C/T or a
+    small list of such columns — never an (N, d) array — so the TPU's
+    128-lane minor dim is always fully used (the row-major variant wasted
+    >95% of every vector op at d≈5; measured 69 ms → ~25 ms flagship).
     """
     n, d = ref.shape
-    keys, bary = simplex_embed(ref)
+    key_cols, bary_t = _simplex_embed_cols(ref)  # d × (d+1, n); (d+1, n)
     N = n * (d + 1)
     C = N if max_vertices is None else int(max_vertices)
-    flat_keys = keys.reshape(N, d)
+    # entry id convention: entry = r·n + i (remainder-major) — lets the
+    # (d+1, n) columns flatten with no transpose.
+    flat_cols = [kc.reshape(N) for kc in key_cols]
 
     # --- 1) lexicographic dedup -----------------------------------------
-    entry_ids = jnp.arange(N, dtype=jnp.int32)
-    cols = tuple(flat_keys[:, k] for k in range(d))
-    sorted_cols, order = _lex_sort_rows(cols, entry_ids)
-    sorted_keys = jnp.stack(sorted_cols, axis=-1)  # (N, d)
-    row_changed = jnp.any(sorted_keys[1:] != sorted_keys[:-1], axis=-1)
+    # bary rides the sort as payload → sorted_weight with no gather
+    order, row_changed, (sorted_weight,) = _sort_rows(
+        flat_cols, (bary_t.reshape(N),)
+    )
     is_head = jnp.concatenate([jnp.ones((1,), bool), row_changed])
     seg = (jnp.cumsum(is_head) - 1).astype(jnp.int32)  # (N,) ascending
     num_valid = seg[-1] + 1
@@ -274,32 +360,38 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
 
     # inverse permutation via one more stable sort: sort (order, seg) by order
     _, inv_seg = jax.lax.sort((order, seg_capped), num_keys=1, is_stable=True)
-    slot = inv_seg.reshape(n, d + 1)
+    slot = inv_seg.reshape(d + 1, n).T  # (n, d+1)
 
     # --- 2) CSR entry layout (already sorted by seg) ---------------------
-    sorted_pixel = order // (d + 1)
-    sorted_weight = bary.reshape(-1)[order]
+    sorted_pixel = order % n
 
     # --- 3) unique keys + hash index for blur neighbors ------------------
-    # first sorted position of each slot c: merge-count via sort of
-    # (seg ∪ iota): starts[c] = #entries with seg < c.
     iota_c1 = jnp.arange(C + 1, dtype=jnp.int32)
-    # CSR boundaries: starts[c] = #entries with slot < c (searchsorted on
-    # the ascending seg ids; also the first sorted position of slot c)
+    # CSR boundaries: starts[c] = #entries with slot < c (binary search on
+    # the ascending seg ids; also the first sorted position of slot c).
+    # C+1 queries against N entries: log2(N) unrolled gather rounds beat
+    # the sort-based merge (which re-sorts all N entries) by ~10x here.
     starts_full = jnp.searchsorted(
-        seg_capped, iota_c1, side="left", method="sort"
+        seg_capped, iota_c1, side="left", method="scan_unrolled"
     ).astype(jnp.int32)
     iota_c = iota_c1[:C]
     starts = starts_full[:C]
     valid_c = iota_c < num_valid
     sentinel = jnp.iinfo(jnp.int32).max
+    # unique keys: entry id of each segment head (small 1-D gather), then
+    # ONE row gather from the (N, d) row-layout copy of the keys — big-
+    # table gathers must be row-major on TPU (a (C,) scalar gather from an
+    # HBM (N,) table runs element-at-a-time; rows amortize it over lanes).
+    flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, d)
+    head_entry = order[jnp.minimum(starts, N - 1)]  # (C,)
     unique_keys = jnp.where(
-        valid_c[:, None], sorted_keys[jnp.minimum(starts, N - 1)], sentinel
+        valid_c[:, None], flat_rows[head_entry], sentinel
     )  # (C, d)
+    unique_cols = [unique_keys[:, k] for k in range(d)]
 
     T = 1 << max(1, (2 * C - 1).bit_length())  # pow2 ≥ 2C → load ≤ 0.5
     mask = jnp.int32(T - 1)
-    h0 = _hash_keys(unique_keys)
+    h0 = _hash_cols(unique_cols)
     vids = jnp.arange(C, dtype=jnp.int32)
     EMPTY = jnp.int32(C)
 
@@ -321,8 +413,10 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     )
 
     def lookup(query_keys):
-        """(Q, d) int32 → vertex id in [0, C) or C if absent."""
-        qh = _hash_keys(query_keys)
+        """(Q, d) int32 rows → vertex id in [0, C) or C if absent.
+        Verification gathers stay row-major ((Q, d) from the (C, d)
+        unique-key table) — see the big-table gather note above."""
+        qh = _hash_cols([query_keys[:, k] for k in range(d)])
         Q = query_keys.shape[0]
 
         def probe_round(state, r):
@@ -346,14 +440,10 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     # Blur neighbors along each of the d+1 lattice axes
     # (`permutohedral.h:504-509`): axis j < d: +1 everywhere except coord j
     # gets −d (and the mirror); axis d: ±1 in all stored coords.
-    deltas = []
     eye = np.eye(d, dtype=np.int32)
-    for j in range(d + 1):
-        if j < d:
-            deltas.append(np.ones(d, dtype=np.int32) - (d + 1) * eye[j])
-        else:
-            deltas.append(np.ones(d, dtype=np.int32))
-    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d)
+    deltas = [np.ones(d, np.int32) - (d + 1) * eye[j] for j in range(d)]
+    deltas.append(np.ones(d, dtype=np.int32))
+    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d) static
 
     queries = jnp.concatenate(
         [
@@ -369,7 +459,7 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
 
     return PermutohedralPlan(
         slot=slot,
-        bary=bary,
+        bary=bary_t.T,
         neighbors=neighbors,
         num_valid=num_valid,
         sorted_pixel=sorted_pixel.astype(jnp.int32),
@@ -386,12 +476,9 @@ def count_vertices(ref: jax.Array) -> jax.Array:
     occupancy is strongly data-dependent (~0.04n on smooth natural images
     at the flagship σs, ~0.7n on noise)."""
     n, d = ref.shape
-    keys, _ = simplex_embed(ref)
-    flat_keys = keys.reshape(n * (d + 1), d)
-    cols = tuple(flat_keys[:, k] for k in range(d))
-    sorted_cols, _ = _lex_sort_rows(cols, jnp.zeros((n * (d + 1),), jnp.int32))
-    sorted_keys = jnp.stack(sorted_cols, axis=-1)
-    row_changed = jnp.any(sorted_keys[1:] != sorted_keys[:-1], axis=-1)
+    key_cols, _ = _simplex_embed_cols(ref)
+    flat_cols = [kc.reshape(n * (d + 1)) for kc in key_cols]
+    _, row_changed, _ = _sort_rows(flat_cols)
     return 1 + jnp.sum(row_changed)
 
 

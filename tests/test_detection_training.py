@@ -35,8 +35,9 @@ def test_detection_train_step_reduces_loss():
         )
         return rpn_cls + rpn_reg + roi_cls + roi_reg
 
-    opt = optax.adam(1e-3)
+    opt = optax.adam(3e-4)
     opt_state = opt.init(params)
+    eval_loss = jax.jit(loss_fn)
 
     @jax.jit
     def step(params, opt_state, image, boxes, cls, valid):
@@ -48,6 +49,10 @@ def test_detection_train_step_reduces_loss():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # Judge progress on a FIXED item's loss before vs after training (the
+    # per-step loss alternates items and resamples ROI targets as the
+    # proposals move, so consecutive values are inherently noisy).
+    loss_before = float(eval_loss(params, items[0]))
     losses = []
     for it in range(8):
         item = items[it % 2]
@@ -60,4 +65,5 @@ def test_detection_train_step_reduces_loss():
         )
         losses.append(float(loss))
     assert np.isfinite(losses).all(), losses
-    assert losses[-1] < losses[0], losses
+    loss_after = float(eval_loss(params, items[0]))
+    assert loss_after < loss_before, (loss_before, loss_after, losses)

@@ -174,3 +174,27 @@ def test_batched_filter_matches_loop(rng):
     for b in range(B):
         want = np.asarray(jit_filter(srcs[b], refs[b]))
         np.testing.assert_allclose(out[b], want, rtol=1e-10)
+
+
+def test_packed_sort_rows_matches_numpy_lexsort(rng):
+    """The 2-sort packed row argsort (and its payload/row_changed outputs)
+    must equal a stable numpy lexsort bit-for-bit, on both small-range
+    keys (packed path) and huge-range keys (forces the cond fallback)."""
+    from depth_estimation_tpu.ops.permutohedral import _sort_rows
+
+    N, d = 2000, 5
+    payload = rng.rand(N).astype(np.float32)
+    for scale in (7, 1 << 20):  # packed path / fallback path
+        keys = rng.randint(-scale, scale, size=(N, d)).astype(np.int32)
+        cols = [jnp.asarray(keys[:, k]) for k in range(d)]
+        order, rc, (pay,) = jax.jit(
+            lambda p, *c: _sort_rows(c, (p,))
+        )(jnp.asarray(payload), *cols)
+        # np.lexsort: last key is primary; stable
+        want_order = np.lexsort(tuple(keys[:, k] for k in range(d - 1, -1, -1)))
+        np.testing.assert_array_equal(np.asarray(order), want_order)
+        skeys = keys[want_order]
+        np.testing.assert_array_equal(
+            np.asarray(rc), np.any(skeys[1:] != skeys[:-1], axis=1)
+        )
+        np.testing.assert_array_equal(np.asarray(pay), payload[want_order])
