@@ -69,8 +69,11 @@ def main():
     ap.add_argument("--h", type=int, default=288)
     ap.add_argument("--w", type=int, default=384)
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--dense-baseline", action="store_true",
-                    help="also time the dense O(n²) oracle for vs_baseline")
+    ap.add_argument("--dense-baseline", action="store_true", default=None,
+                    help="also time the dense O(n²) oracle for vs_baseline "
+                         "(default: on unless --device cpu)")
+    ap.add_argument("--no-dense-baseline", dest="dense_baseline",
+                    action="store_false")
     ap.add_argument("--no-supervise", action="store_true",
                     help="run in-process (no wedge-watchdog subprocess)")
     args = ap.parse_args()
@@ -120,6 +123,8 @@ def main():
     iters_per_s = args.niters / dt
 
     vs_baseline = None
+    if args.dense_baseline is None:
+        args.dense_baseline = args.device != "cpu"
     if args.dense_baseline:
         dense_cfg = CRFStereoConfig(
             num_disp=args.labels, niters=args.niters, backend="dense"

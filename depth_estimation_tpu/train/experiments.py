@@ -34,6 +34,8 @@ __all__ = [
     "trainable_crf_forward",
     "train_tsukuba_crf",
     "train_detection_shapes",
+    "train_detection_shapes_batched",
+    "evaluate_detection",
     "train_upsampler",
 ]
 
@@ -221,6 +223,159 @@ def train_detection_shapes(
         aps.append(ap)
     history["map50"] = float(np.mean(aps))
     return params, history
+
+
+def _stack_detection_batch(items):
+    """Stack padded shapes-dataset items into batch-leading arrays."""
+    return (
+        jnp.asarray(np.stack([it["image"] for it in items]), jnp.float32),
+        jnp.asarray(np.stack([it["boxes_padded"] for it in items])),
+        jnp.asarray(np.stack([it["classes_padded"] for it in items])),
+        jnp.asarray(np.stack([it["gt_valid"] for it in items])),
+    )
+
+
+def train_detection_shapes_batched(
+    num_steps: int = 20,
+    batch_size: int = 8,
+    num_items: int = 16,
+    h: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+    mesh=None,
+    eval_at_end: bool = False,
+    model_kwargs: dict | None = None,
+):
+    """Multi-image data-parallel detection training on procedural shapes.
+
+    Capability counterpart of the reference's multi-GPU trainers — torch
+    `mynn.DataParallel` scatter/replicate/gather
+    (`mask-rcnn.pytorch/lib/nn/parallel/data_parallel.py:74-141`, wired at
+    `tools/train_net_step.py:339-340`) and the Keras replica-tower
+    `ParallelModel` (`Mask_RCNN/mrcnn/parallel_model.py:54-140`). TPU-first
+    design: ONE jitted SPMD program — the per-image loss is vmapped over a
+    padded fixed-shape batch, the batch is sharded over the mesh 'data'
+    axis and params stay replicated, so XLA inserts the gradient
+    all-reduce itself (no scatter/gather/replica plumbing to maintain).
+
+    Returns (params, history): history['loss'] per-step batch-mean losses,
+    plus 'map50'/'map' when `eval_at_end`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..data.shapes import NUM_CLASSES, ShapesDetection
+    from ..models.detection.losses import roi_losses, rpn_losses
+    from ..models.detection.rcnn import MaskRCNN
+
+    ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
+    items = [ds.padded(i) for i in range(num_items)]
+    kwargs = dict(
+        num_classes=NUM_CLASSES, blocks=(1, 1, 1, 1), fpn_dim=32,
+        num_proposals=32, num_detections=8, score_thresh=-1.0,
+    )
+    kwargs.update(model_kwargs or {})
+    model = MaskRCNN(**kwargs)
+    params = model.init(
+        jax.random.PRNGKey(seed), jnp.asarray(items[0]["image"], jnp.float32),
+        train=True,
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_one(params, image, boxes, cls, valid):
+        out = model.apply(params, image, train=True)
+        rpn_cls, rpn_reg = rpn_losses(
+            out["rpn_logits"], out["rpn_deltas"], out["anchors"], boxes, valid
+        )
+        roi_cls, roi_reg, *_ = roi_losses(
+            out["cls_scores"], out["cls_deltas"], out["proposals"],
+            out["proposal_valid"], boxes, cls, valid,
+        )
+        return rpn_cls + rpn_reg + roi_cls + roi_reg
+
+    def loss_fn(params, images, boxes, cls, valid):
+        return jax.vmap(loss_one, in_axes=(None, 0, 0, 0, 0))(
+            params, images, boxes, cls, valid
+        ).mean()
+
+    @jax.jit
+    def step(params, opt_state, images, boxes, cls, valid):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, boxes, cls, valid)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    batch_shard = None
+    if mesh is not None:
+        batch_shard = NamedSharding(mesh, PartitionSpec("data"))
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
+
+    history = {"loss": []}
+    for i in range(num_steps):
+        batch = [items[(i * batch_size + j) % num_items] for j in range(batch_size)]
+        arrays = _stack_detection_batch(batch)
+        if batch_shard is not None:
+            arrays = tuple(jax.device_put(a, batch_shard) for a in arrays)
+        params, opt_state, loss = step(params, opt_state, *arrays)
+        history["loss"].append(float(loss))
+
+    if eval_at_end:
+        history.update(evaluate_detection(model, params, items, mesh=mesh))
+    return params, history
+
+
+def evaluate_detection(model, params, items, mesh=None, batch_size: int | None = None):
+    """Batched dataset mAP evaluation in one SPMD program.
+
+    Counterpart of the reference's multi-process eval sharding — the
+    parent/child dataset-range protocol of `lib/core/test_engine.py:168-214`
+    + `lib/utils/subprocess.py:29-100` and the per-image loops of
+    `Mask_RCNN/mrcnn/utils.py:665-811`. Here inference is vmapped over a
+    batch sharded on the mesh 'data' axis (padding the tail by repetition),
+    matching is done host-side per image, and AP is averaged — no
+    subprocess/pickle plumbing.
+
+    Returns {'map50': AP@0.5, 'map': mAP@[.5:.95]} averaged over items.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ..train.eval_detection import compute_ap, compute_map_range
+
+    n = len(items)
+    shard = mesh.shape["data"] if mesh is not None else 1
+    if batch_size is None:
+        batch_size = max(shard, n - n % shard if n >= shard else shard)
+
+    infer = jax.jit(
+        jax.vmap(lambda p, im: model.apply(p, im, train=False), in_axes=(None, 0))
+    )
+    batch_shard = (
+        NamedSharding(mesh, PartitionSpec("data")) if mesh is not None else None
+    )
+
+    outs = []
+    for lo in range(0, n, batch_size):
+        batch = [items[min(lo + j, n - 1)] for j in range(batch_size)]
+        images = jnp.asarray(
+            np.stack([it["image"] for it in batch]), jnp.float32
+        )
+        if batch_shard is not None:
+            images = jax.device_put(images, batch_shard)
+        out = jax.device_get(infer(params, images))
+        keep = min(batch_size, n - lo)
+        outs.extend(
+            {k: np.asarray(v[j]) for k, v in out.items()} for j in range(keep)
+        )
+
+    ap50s, aps = [], []
+    for item, out in zip(items, outs):
+        valid = out["valid"].astype(bool)
+        pb, pc, ps = out["boxes"][valid], out["classes"][valid], out["scores"][valid]
+        ap, _, _ = compute_ap(pb, pc, ps, item["boxes"], item["classes"])
+        ap50s.append(ap)
+        aps.append(compute_map_range(pb, pc, ps, item["boxes"], item["classes"]))
+    return {"map50": float(np.mean(ap50s)), "map": float(np.mean(aps))}
 
 
 def train_upsampler(
