@@ -22,6 +22,10 @@ def main(argv=None):
     ap.add_argument("--params", default=None, help="flax msgpack checkpoint")
     ap.add_argument("--right", default=None, help="right view for mask depth")
     ap.add_argument("--depth-out", default=None)
+    ap.add_argument("--splash", default=None,
+                    help="color-splash PNG (gray except detected instances)")
+    ap.add_argument("--rle-out", default=None,
+                    help="write instance masks as submission-format RLE lines")
     ap.add_argument("--num-classes", type=int, default=81)
     ap.add_argument("--detections", type=int, default=16)
     ap.add_argument("--device", default=None)
@@ -36,7 +40,12 @@ def main(argv=None):
 
     from ..models.detection.rcnn import MaskRCNN
     from ..utils.io import read_image, write_pfm
-    from ..utils.visualize import draw_detections, save_image
+    from ..utils.visualize import (
+        color_splash,
+        draw_detections,
+        paste_roi_masks,
+        save_image,
+    )
 
     img = jnp.asarray(read_image(args.image), jnp.float32)
     model = MaskRCNN(
@@ -67,26 +76,33 @@ def main(argv=None):
         save_image(args.out, panel)
         result["out"] = args.out
 
+    h, w = img.shape[:2]
+    full = None
+    if (args.right and args.depth_out) or args.splash or args.rle_out:
+        full = paste_roi_masks(
+            np.asarray(out["boxes"]), np.asarray(out["masks"]), h, w,
+            valid=np.asarray(out["valid"]),
+        )
+
+    if args.splash:
+        save_image(args.splash, color_splash(np.asarray(img), full))
+        result["splash"] = args.splash
+
+    if args.rle_out:
+        from ..data.coco import masks_to_submission
+
+        with open(args.rle_out, "w") as f:
+            f.write(masks_to_submission(
+                args.image, full, np.asarray(out["scores"])) + "\n")
+        result["rle_out"] = args.rle_out
+
     if args.right and args.depth_out:
         from ..models.maskdepth import composite_mask_depth
 
         right = jnp.asarray(read_image(args.right), jnp.float32)
-        h, w = img.shape[:2]
-        # paste ROI masks into full-frame masks
-        D = out["masks"].shape[0]
-        full = np.zeros((D, h, w), np.float32)
-        boxes = np.asarray(out["boxes"])
-        masks = np.asarray(out["masks"])
-        for i in range(D):
-            if not out["valid"][i]:
-                continue
-            x1, y1, x2, y2 = [int(round(float(v))) for v in boxes[i]]
-            if x2 <= x1 or y2 <= y1:
-                continue
-            yi = (np.arange(y2 - y1)[:, None] * masks.shape[1] / (y2 - y1)).astype(int)
-            xi = (np.arange(x2 - x1)[None, :] * masks.shape[2] / (x2 - x1)).astype(int)
-            full[i, y1:y2, x1:x2] = masks[i][yi, xi] > 0.5
-        depth = np.asarray(composite_mask_depth(img, right, jnp.asarray(full)))
+        depth = np.asarray(
+            composite_mask_depth(img, right, jnp.asarray(full, jnp.float32))
+        )
         write_pfm(args.depth_out, depth)
         result["depth_out"] = args.depth_out
     print(json.dumps(result))

@@ -19,7 +19,15 @@ import numpy as np
 
 from ..utils.io import read_image
 
-__all__ = ["COCODetection", "rasterize_polygon", "decode_rle"]
+__all__ = [
+    "COCODetection",
+    "rasterize_polygon",
+    "decode_rle",
+    "encode_rle",
+    "rle_submission_encode",
+    "rle_submission_decode",
+    "masks_to_submission",
+]
 
 
 def rasterize_polygon(poly: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -57,6 +65,68 @@ def decode_rle(counts, h: int, w: int) -> np.ndarray:
         pos += c
         val = not val
     return flat.reshape(w, h).T
+
+
+def encode_rle(mask: np.ndarray) -> list[int]:
+    """(h, w) bool → uncompressed COCO RLE counts. Inverse of `decode_rle`
+    (column-major runs, first count is the leading zero run, possibly 0)."""
+    flat = np.asarray(mask, bool).T.reshape(-1)
+    if flat.size == 0:
+        return []
+    edges = np.nonzero(np.diff(flat))[0] + 1
+    bounds = np.concatenate([[0], edges, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    return ([0] + counts) if flat[0] else counts
+
+
+def rle_submission_encode(mask: np.ndarray) -> str:
+    """(h, w) bool → '<start> <len> ...' string, 1-based, column-major.
+
+    The Kaggle/DSB submission RLE of the nucleus sample
+    (`Mask_RCNN/samples/nucleus/nucleus.py:302-315`).
+    """
+    flat = np.asarray(mask, bool).T.reshape(-1)
+    g = np.diff(np.concatenate([[0], flat.view(np.uint8), [0]]).astype(np.int8))
+    pairs = np.flatnonzero(g).reshape(-1, 2) + 1
+    pairs[:, 1] -= pairs[:, 0]
+    return " ".join(map(str, pairs.reshape(-1)))
+
+
+def rle_submission_decode(rle: str, h: int, w: int) -> np.ndarray:
+    """Inverse of `rle_submission_encode` (`nucleus.py:318-332`)."""
+    vals = list(map(int, rle.split()))
+    flat = np.zeros(h * w, bool)
+    for s, ln in zip(vals[::2], vals[1::2]):
+        flat[s - 1 : s - 1 + ln] = True
+    return flat.reshape(w, h).T
+
+
+def masks_to_submission(image_id: str, masks: np.ndarray, scores) -> str:
+    """Instance masks → submission lines, overlaps resolved by score.
+
+    masks: (D, h, w) bool; higher-scoring instances claim contested pixels
+    (`nucleus.py:335-355` semantics, (D, h, w) layout). Returns one
+    '<image_id>, <rle>' line per non-empty instance (or '<image_id>,' if
+    none).
+    """
+    masks = np.asarray(masks, bool)
+    scores = np.asarray(scores)
+    if masks.ndim != 3:
+        raise ValueError("masks must be (D, h, w)")
+    if masks.shape[0] == 0:
+        return f"{image_id},"
+    order = np.argsort(-scores)
+    prio = np.zeros(masks.shape[1:], np.int64)  # 0 = unclaimed
+    for rank, i in enumerate(order, start=1):
+        claim = masks[i] & (prio == 0)
+        prio[claim] = rank
+    lines = []
+    for rank, i in enumerate(order, start=1):
+        m = prio == rank
+        if not m.any():
+            continue
+        lines.append(f"{image_id}, {rle_submission_encode(m)}")
+    return "\n".join(lines) if lines else f"{image_id},"
 
 
 @dataclass

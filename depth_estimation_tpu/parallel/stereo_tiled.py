@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..crf.compat import charbonnier2, compatibility_matrix
 from ..crf.meanfield import mean_field_infer
@@ -80,6 +80,6 @@ def crf_stereo_infer_tiled(
     spec = P(axis, None, None)
     out = shard_map(
         local, mesh=mesh, in_specs=(spec, spec), out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )(left, right)
     return out

@@ -28,7 +28,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["halo_exchange_rows", "tiled_apply", "tiled_filter_hwc"]
 

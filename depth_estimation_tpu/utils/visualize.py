@@ -7,7 +7,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["draw_detections", "colorize_labels", "save_image", "disparity_panel"]
+__all__ = [
+    "draw_detections",
+    "paste_roi_masks",
+    "color_splash",
+    "colorize_labels",
+    "save_image",
+    "disparity_panel",
+]
 
 _PALETTE = np.array(
     [
@@ -56,6 +63,54 @@ def draw_detections(image, boxes, classes=None, scores=None, masks=None,
                     (1 - mask_alpha) * region[mm] + mask_alpha * color
                 ).astype(np.uint8)
     return out
+
+
+def paste_roi_masks(boxes, masks, h, w, valid=None, threshold: float = 0.5):
+    """ROI-frame masks → full-frame boolean masks.
+
+    boxes: (D, 4) x1,y1,x2,y2 pixel coords; masks: (D, m, m) in ROI frame.
+    Nearest-neighbor resize of each ROI mask into its box (the
+    `unmold_detections` paste, `mrcnn/model.py:2425-2489`). Returns
+    (D, h, w) bool.
+    """
+    boxes = np.asarray(boxes)
+    masks = np.asarray(masks)
+    D = len(boxes)
+    full = np.zeros((D, h, w), bool)
+    for i in range(D):
+        if valid is not None and not valid[i]:
+            continue
+        x1, y1, x2, y2 = [int(round(float(v))) for v in boxes[i]]
+        x1, x2 = np.clip([x1, x2], 0, w)
+        y1, y2 = np.clip([y1, y2], 0, h)
+        bh, bw = y2 - y1, x2 - x1
+        if bh <= 0 or bw <= 0:
+            continue
+        m = masks[i]
+        yi = (np.arange(bh)[:, None] * (m.shape[0] / bh)).astype(int)
+        xi = (np.arange(bw)[None, :] * (m.shape[1] / bw)).astype(int)
+        full[i, y1:y2, x1:x2] = (
+            m[np.clip(yi, 0, m.shape[0] - 1), np.clip(xi, 0, m.shape[1] - 1)]
+            > threshold
+        )
+    return full
+
+
+def color_splash(image, masks):
+    """Gray out everything except the detected instances.
+
+    Capability of the balloon demo (`Mask_RCNN/samples/balloon/balloon.py:
+    202-217`): luminance-gray copy of the image, original color kept where
+    any instance mask is set. image: float [0,1] (h, w, 3); masks:
+    (D, h, w) or (h, w) bool. Returns uint8 (h, w, 3).
+    """
+    img = np.asarray(image, np.float32)
+    masks = np.asarray(masks, bool)
+    union = masks.any(0) if masks.ndim == 3 else masks
+    lum = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    gray = np.repeat(lum[..., None], 3, axis=-1)
+    out = np.where(union[..., None], img, gray)
+    return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 
 
 def colorize_labels(labels, num_labels=None):

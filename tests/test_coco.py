@@ -83,3 +83,50 @@ def test_coco_dataset(coco_fixture):
     assert item["masks"].shape == (1, 32, 40)
     assert item["masks"][0, 8, 8] and not item["masks"][0, 30, 30]
     assert ds.class_names[2] == "dog"
+
+
+def test_encode_rle_inverse_of_decode(rng=np.random.RandomState(3)):
+    from depth_estimation_tpu.data.coco import encode_rle
+
+    for _ in range(5):
+        m = rng.rand(13, 7) > 0.6
+        counts = encode_rle(m)
+        assert all(c >= 0 for c in counts)
+        assert sum(counts) == m.size
+        np.testing.assert_array_equal(decode_rle(counts, 13, 7), m)
+    # leading-one mask must start with a 0 count
+    m = np.ones((2, 2), bool)
+    assert encode_rle(m)[0] == 0
+
+
+def test_rle_submission_roundtrip():
+    from depth_estimation_tpu.data.coco import (
+        rle_submission_decode,
+        rle_submission_encode,
+    )
+
+    rng = np.random.RandomState(0)
+    m = rng.rand(11, 9) > 0.5
+    s = rle_submission_encode(m)
+    assert all(int(v) >= 1 for v in s.split())  # 1-based pairs
+    np.testing.assert_array_equal(rle_submission_decode(s, 11, 9), m)
+    assert rle_submission_encode(np.zeros((4, 4), bool)) == ""
+
+
+def test_masks_to_submission_overlap_resolution():
+    from depth_estimation_tpu.data.coco import (
+        masks_to_submission,
+        rle_submission_decode,
+    )
+
+    h = w = 8
+    a = np.zeros((h, w), bool); a[2:6, 2:6] = True
+    b = np.zeros((h, w), bool); b[4:8, 4:8] = True
+    lines = masks_to_submission("img7", np.stack([a, b]), [0.4, 0.9]).splitlines()
+    assert len(lines) == 2 and all(l.startswith("img7, ") for l in lines)
+    # higher-scoring b (first line) keeps the contested 4:6,4:6 block
+    first = rle_submission_decode(lines[0].split(", ")[1], h, w)
+    second = rle_submission_decode(lines[1].split(", ")[1], h, w)
+    np.testing.assert_array_equal(first, b)
+    np.testing.assert_array_equal(second, a & ~b)
+    assert masks_to_submission("e", np.zeros((0, h, w), bool), []) == "e,"

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from depth_estimation_tpu.ops.boxfilter import box_filter2d
 from depth_estimation_tpu.ops.permutohedral import apply_plan, build_plan
@@ -31,7 +31,7 @@ def test_halo_exchange_rows_matches_concatenation(rng):
         return halo_exchange_rows(xl, halo, "tile")
 
     out = shard_map(
-        local, mesh=mesh, in_specs=(P("tile"),), out_specs=P("tile"), check_rep=False
+        local, mesh=mesh, in_specs=(P("tile"),), out_specs=P("tile"), check_vma=False
     )(x)
     out = np.asarray(out)  # (64 + 8·2·halo rows, stacked per device)
     xs = np.asarray(x).reshape(8, 8, 6)
@@ -106,7 +106,7 @@ def test_tiled_lattice_close_to_global(rng):
     tiled_out = np.asarray(
         jax.jit(
             shard_map(local, mesh=mesh, in_specs=(P("tile"), P("tile")),
-                      out_specs=P("tile"), check_rep=False)
+                      out_specs=P("tile"), check_vma=False)
         )(src, img)
     )
     # the zero-halo edges of the outermost tiles differ; compare interior
@@ -134,7 +134,7 @@ def test_data_parallel_grads_match_single_device(rng):
     g_dp = np.asarray(
         jax.jit(
             shard_map(sharded_grad, mesh=mesh, in_specs=(P(), P("data"), P("data")),
-                      out_specs=P(), check_rep=False)
+                      out_specs=P(), check_vma=False)
         )(w0, X, y)
     )
     np.testing.assert_allclose(g_dp, g_single, rtol=1e-10, atol=1e-12)

@@ -75,3 +75,22 @@ def test_stage_timer_and_roofline():
     assert "add" in t.spans and t.spans["add"] >= 0
     r = roofline(1e-3, bytes_moved=819e6)
     assert abs(r["hbm_fraction"] - 1.0) < 1e-6
+
+
+def test_paste_roi_masks_and_color_splash():
+    from depth_estimation_tpu.utils.visualize import color_splash, paste_roi_masks
+
+    img = np.random.RandomState(0).rand(16, 20, 3).astype(np.float32)
+    masks = np.ones((2, 4, 4), np.float32)
+    boxes = np.array([[2, 3, 10, 9], [0, 0, 0, 0]], np.float32)
+    full = paste_roi_masks(boxes, masks, 16, 20, valid=[True, False])
+    assert full.shape == (2, 16, 20)
+    assert full[0, 3:9, 2:10].all() and full[0].sum() == 6 * 8
+    assert not full[1].any()
+
+    out = color_splash(img, full)
+    assert out.dtype == np.uint8
+    inside = (img[3:9, 2:10] * 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[3:9, 2:10], inside)
+    # outside pixels are gray (all channels equal)
+    assert (out[0, 0, 0] == out[0, 0, 1]) and (out[0, 0, 1] == out[0, 0, 2])
