@@ -31,17 +31,17 @@ def main(argv=None):
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
-    from ..train.experiments import train_detection_shapes
+    from ..train.experiments import train_detection_coco, train_detection_shapes
 
     if args.coco_root and args.coco_ann:
-        raise SystemExit(
-            "COCO training loop lands in a later milestone; the loader "
-            "(data.coco.COCODetection) is ready — use the library API."
+        params, hist = train_detection_coco(
+            args.coco_root, args.coco_ann, num_steps=args.steps,
+            size=args.size, lr=args.lr, max_items=args.items or None,
         )
-
-    params, hist = train_detection_shapes(
-        num_steps=args.steps, num_items=args.items, h=args.size, lr=args.lr
-    )
+    else:
+        params, hist = train_detection_shapes(
+            num_steps=args.steps, num_items=args.items, h=args.size, lr=args.lr
+        )
     if args.out:
         import flax.serialization as ser
 

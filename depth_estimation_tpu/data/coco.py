@@ -168,6 +168,49 @@ class COCODetection:
     def __len__(self):
         return len(self.ids)
 
+    def padded(self, idx: int, size: int | None = None, max_gt: int = 16):
+        """Fixed-shape training item: image resized to (size, size), boxes
+        rescaled, GT padded to max_gt with a validity mask — the static-
+        shape contract of the detection train loops (XLA compiles one
+        program for every item; the reference's dynamic roidb blobs,
+        `lib/roi_data/minibatch.py`, are replaced by padding + masking).
+        """
+        item = self[idx]
+        img = np.asarray(item["image"], np.float32)
+        h, w = img.shape[:2]
+        boxes = item["boxes"].copy()
+        if size is not None and (h, w) != (size, size):
+            from PIL import Image
+
+            im8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            img = (
+                np.asarray(
+                    Image.fromarray(im8).resize((size, size), Image.BILINEAR),
+                    np.float32,
+                )
+                / 255.0
+            )
+            boxes[:, [0, 2]] *= size / w
+            boxes[:, [1, 3]] *= size / h
+        g = min(len(item["classes"]), max_gt)
+        bp = np.zeros((max_gt, 4), np.float32)
+        cp = np.zeros((max_gt,), np.int32)
+        vp = np.zeros((max_gt,), bool)
+        bp[:g] = boxes[:g]
+        cp[:g] = item["classes"][:g]
+        vp[:g] = True
+        item.update(
+            {
+                "image": img,
+                "boxes": boxes[:g],
+                "classes": item["classes"][:g],
+                "boxes_padded": bp,
+                "classes_padded": cp,
+                "gt_valid": vp,
+            }
+        )
+        return item
+
     def __getitem__(self, idx: int):
         info = self.images[self.ids[idx]]
         h, w = info["height"], info["width"]

@@ -33,7 +33,9 @@ __all__ = [
     "trainable_crf_init",
     "trainable_crf_forward",
     "train_tsukuba_crf",
+    "train_detection_items",
     "train_detection_shapes",
+    "train_detection_coco",
     "train_detection_shapes_batched",
     "evaluate_detection",
     "train_upsampler",
@@ -142,32 +144,29 @@ def train_tsukuba_crf(
     return params, history
 
 
-def train_detection_shapes(
+def train_detection_items(
+    items,
+    num_classes: int,
     num_steps: int = 50,
-    num_items: int = 8,
-    h: int = 64,
     lr: float = 1e-3,
-    eval_every: int | None = None,
     seed: int = 0,
     model_kwargs: dict | None = None,
 ):
-    """Train the detection family on the procedural shapes dataset and
-    evaluate mAP@0.5 (the reference's shapes-train protocol,
-    `Mask_RCNN/samples/shapes/shapes.py` train/eval loop at library scale).
+    """Core single-device detection train loop over fixed-shape items.
 
-    Returns (params, history) with history['loss'] and history['map50'].
+    Each item carries `image` (h, w, 3) plus padded GT
+    (`boxes_padded`/`classes_padded`/`gt_valid`) and unpadded
+    `boxes`/`classes` for the mAP@0.5 eval at the end. One XLA program
+    serves every item (static shapes). Returns (params, history).
     """
     import optax
 
-    from ..data.shapes import NUM_CLASSES, ShapesDetection
     from ..models.detection.losses import roi_losses, rpn_losses
     from ..models.detection.rcnn import MaskRCNN
     from ..train.eval_detection import compute_ap
 
-    ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
-    items = [ds.padded(i) for i in range(num_items)]
     kwargs = dict(
-        num_classes=NUM_CLASSES, blocks=(1, 1, 1, 1), fpn_dim=32,
+        num_classes=num_classes, blocks=(1, 1, 1, 1), fpn_dim=32,
         num_proposals=32, num_detections=8, score_thresh=-1.0,
     )
     kwargs.update(model_kwargs or {})
@@ -197,7 +196,7 @@ def train_detection_shapes(
 
     history = {"loss": [], "map50": None}
     for i in range(num_steps):
-        item = items[i % num_items]
+        item = items[i % len(items)]
         params, opt_state, loss = step(
             params, opt_state,
             jnp.asarray(item["image"], jnp.float32),
@@ -223,6 +222,61 @@ def train_detection_shapes(
         aps.append(ap)
     history["map50"] = float(np.mean(aps))
     return params, history
+
+
+def train_detection_shapes(
+    num_steps: int = 50,
+    num_items: int = 8,
+    h: int = 64,
+    lr: float = 1e-3,
+    eval_every: int | None = None,
+    seed: int = 0,
+    model_kwargs: dict | None = None,
+):
+    """Train the detection family on the procedural shapes dataset and
+    evaluate mAP@0.5 (the reference's shapes-train protocol,
+    `Mask_RCNN/samples/shapes/shapes.py` train/eval loop at library scale).
+
+    Returns (params, history) with history['loss'] and history['map50'].
+    """
+    from ..data.shapes import NUM_CLASSES, ShapesDetection
+
+    ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
+    items = [ds.padded(i) for i in range(num_items)]
+    return train_detection_items(
+        items, NUM_CLASSES, num_steps=num_steps, lr=lr, seed=seed,
+        model_kwargs=model_kwargs,
+    )
+
+
+def train_detection_coco(
+    root: str,
+    ann_file: str,
+    num_steps: int = 100,
+    size: int = 128,
+    max_gt: int = 16,
+    lr: float = 1e-3,
+    max_items: int | None = None,
+    seed: int = 0,
+    model_kwargs: dict | None = None,
+):
+    """Train the detection family on a COCO-format dataset
+    (`samples/coco/coco.py` train protocol + `lib/datasets/json_dataset.py`
+    loading, without pycocotools): images resized to a static (size, size),
+    GT padded to max_gt, single jitted step reused across the epoch.
+
+    Returns (params, history) with history['loss'] and history['map50'].
+    """
+    from ..data.coco import COCODetection
+
+    ds = COCODetection(root, ann_file, max_items=max_items)
+    items = [ds.padded(i, size=size, max_gt=max_gt) for i in range(len(ds))]
+    kwargs = dict(num_proposals=64, num_detections=16)
+    kwargs.update(model_kwargs or {})
+    return train_detection_items(
+        items, ds.num_classes, num_steps=num_steps, lr=lr, seed=seed,
+        model_kwargs=kwargs,
+    )
 
 
 def _stack_detection_batch(items):

@@ -130,3 +130,28 @@ def test_masks_to_submission_overlap_resolution():
     np.testing.assert_array_equal(first, b)
     np.testing.assert_array_equal(second, a & ~b)
     assert masks_to_submission("e", np.zeros((0, h, w), bool), []) == "e,"
+
+
+def test_coco_padded_resizes_boxes(coco_fixture):
+    root, ann = coco_fixture
+    ds = COCODetection(root, ann)
+    item = ds.padded(0, size=64, max_gt=4)
+    assert item["image"].shape == (64, 64, 3)
+    assert item["boxes_padded"].shape == (4, 4)
+    assert item["gt_valid"].tolist() == [True, False, False, False]
+    # bbox [4,4,12,10] on a 40x32 image scales by (64/40, 64/32)
+    np.testing.assert_allclose(
+        item["boxes_padded"][0], [4 * 64 / 40, 4 * 2, 16 * 64 / 40, 14 * 2], rtol=1e-6
+    )
+
+
+def test_train_detection_coco_runs(coco_fixture):
+    from depth_estimation_tpu.train.experiments import train_detection_coco
+
+    root, ann = coco_fixture
+    params, hist = train_detection_coco(
+        root, ann, num_steps=2, size=32, max_gt=4, lr=1e-3,
+        model_kwargs=dict(num_proposals=16, num_detections=4),
+    )
+    assert len(hist["loss"]) == 2 and np.isfinite(hist["loss"]).all()
+    assert hist["map50"] is not None
