@@ -192,6 +192,13 @@ class COCODetection:
             )
             boxes[:, [0, 2]] *= size / w
             boxes[:, [1, 3]] *= size / h
+            if len(item["masks"]):
+                # keep masks consistent with the resized image (nearest)
+                yy = np.clip((np.arange(size) * h / size).astype(int), 0, h - 1)
+                xx = np.clip((np.arange(size) * w / size).astype(int), 0, w - 1)
+                item["masks"] = item["masks"][:, yy[:, None], xx[None, :]]
+            else:
+                item["masks"] = np.zeros((0, size, size), bool)
         g = min(len(item["classes"]), max_gt)
         bp = np.zeros((max_gt, 4), np.float32)
         cp = np.zeros((max_gt,), np.int32)

@@ -52,18 +52,30 @@ def _norm(kind: str):
 
 
 class Bottleneck(nn.Module):
+    """1×1 → 3×3 → 1×1 residual block.
+
+    ``stride_1x1`` picks where the spatial stride lives: ``False`` is the
+    torchvision convention (stride on the 3×3), ``True`` is the
+    Caffe2/Detectron default (`RESNETS.STRIDE_1X1=True`,
+    `lib/modeling/ResNet.py:254`) and the Matterport Keras `conv_block`
+    (stride on branch2a) — required for pretrained-weight imports from
+    those sources to reproduce the source network's activations. The
+    projection shortcut carries the stride in both conventions."""
+
     width: int
     stride: int = 1
     norm: str = "gn"
+    stride_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_dim = self.width * 4
         residual = x
-        y = nn.Conv(self.width, (1, 1), use_bias=False)(x)
+        s1, s3 = ((self.stride, 1) if self.stride_1x1 else (1, self.stride))
+        y = nn.Conv(self.width, (1, 1), strides=(s1, s1), use_bias=False)(x)
         y = _norm(self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
+        y = nn.Conv(self.width, (3, 3), strides=(s3, s3),
                     padding=((1, 1), (1, 1)), use_bias=False)(y)
         y = _norm(self.norm)(y)
         y = nn.relu(y)
@@ -82,6 +94,7 @@ class ResNet(nn.Module):
     blocks: Sequence[int] = (3, 4, 6, 3)
     base_width: int = 64
     norm: str = "gn"
+    stride_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):  # (1, h, w, 3) → [C2, C3, C4, C5]
@@ -94,9 +107,11 @@ class ResNet(nn.Module):
         width = self.base_width
         for stage, nblocks in enumerate(self.blocks):
             stride = 1 if stage == 0 else 2
-            y = Bottleneck(width, stride=stride, norm=self.norm)(y)
+            y = Bottleneck(width, stride=stride, norm=self.norm,
+                           stride_1x1=self.stride_1x1)(y)
             for _ in range(nblocks - 1):
-                y = Bottleneck(width, norm=self.norm)(y)
+                y = Bottleneck(width, norm=self.norm,
+                               stride_1x1=self.stride_1x1)(y)
             feats.append(y)
             width *= 2
         return feats
@@ -124,10 +139,12 @@ class ResNetFPN(nn.Module):
     blocks: Sequence[int] = (3, 4, 6, 3)
     out_dim: int = 256
     norm: str = "gn"
+    stride_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return FPN(self.out_dim)(ResNet(self.blocks, norm=self.norm)(x))
+        body = ResNet(self.blocks, norm=self.norm, stride_1x1=self.stride_1x1)
+        return FPN(self.out_dim)(body(x))
 
 
 def resnet50_fpn(out_dim: int = 256) -> ResNetFPN:

@@ -13,7 +13,7 @@ Boxes are (x1, y1, x2, y2) pixel coordinates (`ops/detection.py`).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,15 @@ import jax.numpy as jnp
 from ...ops.detection import nms
 
 __all__ = ["hflip_boxes", "detect_augmented"]
+
+
+@lru_cache(maxsize=16)
+def _infer_fn(model):
+    # One jitted apply per model instance (flax modules are hashable frozen
+    # dataclasses): repeated detect_augmented calls hit jit's own
+    # shape-keyed cache instead of retracing — remote TPU compiles are
+    # minutes each, so a fresh jax.jit per call would be ruinous.
+    return jax.jit(lambda p, im: model.apply(p, im, train=False))
 
 
 def hflip_boxes(boxes: jax.Array, width: int) -> jax.Array:
@@ -58,6 +67,7 @@ def detect_augmented(
     scales: tuple[float, ...] = (),
     nms_thresh: float = 0.5,
     score_thresh: float = 0.05,
+    infer_fn=None,
 ):
     """Run detection over augmented views and merge.
 
@@ -69,13 +79,16 @@ def detect_augmented(
         (`im_detect_bbox_hflip`).
       scales: extra resize factors, e.g. (0.75, 1.25)
         (`im_detect_bbox_scale`); each is one cached compile.
+      infer_fn: optional prebuilt `(params, image) -> detections` jitted
+        callable; defaults to a per-model cached `jax.jit` of
+        `model.apply(..., train=False)`.
 
     Returns dict(boxes, classes, scores, valid) — fixed size
     `model.num_detections`, merged from all views by class-aware NMS
     (the union+NMS merge of `im_detect_bbox_aug`, `heur='UNION'`).
     """
     h, w = image.shape[:2]
-    infer = jax.jit(lambda p, im: model.apply(p, im, train=False))
+    infer = infer_fn if infer_fn is not None else _infer_fn(model)
 
     views = []  # (out, unmap) pairs
 

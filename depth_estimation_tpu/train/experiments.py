@@ -399,7 +399,11 @@ def evaluate_detection(model, params, items, mesh=None, batch_size: int | None =
     n = len(items)
     shard = mesh.shape["data"] if mesh is not None else 1
     if batch_size is None:
-        batch_size = max(shard, n - n % shard if n >= shard else shard)
+        # Cap the default — one vmapped program over the whole dataset
+        # would blow memory/compile time on anything non-toy. 8 images per
+        # shard, rounded to a shard multiple, tail padded by repetition.
+        batch_size = min(max(n, 1), 8 * shard)
+        batch_size += (-batch_size) % shard
 
     infer = jax.jit(
         jax.vmap(lambda p, im: model.apply(p, im, train=False), in_axes=(None, 0))

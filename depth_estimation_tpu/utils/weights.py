@@ -31,6 +31,7 @@ import numpy as np
 
 __all__ = [
     "fold_batchnorm",
+    "resnet_import_kwargs",
     "load_detectron_pkl",
     "detectron_resnet_params",
     "load_keras_h5",
@@ -38,6 +39,23 @@ __all__ = [
     "load_torch_state_dict",
     "torch_resnet_params",
 ]
+
+
+def resnet_import_kwargs(source: str) -> dict:
+    """ResNet constructor kwargs that make imported weights numerically
+    exact for each source convention.
+
+    Detectron defaults to stride-on-1×1 (`RESNETS.STRIDE_1X1=True`,
+    `lib/modeling/ResNet.py:254`) and Matterport Keras strides branch2a
+    (`mrcnn/model.py` `conv_block`); torchvision strides the 3×3. Kernel
+    shapes are identical either way, so only the model config — not the
+    param tree — changes per source.
+
+    >>> model = ResNet(blocks=..., **resnet_import_kwargs('detectron'))
+    """
+    if source not in ("detectron", "keras", "torch"):
+        raise ValueError(f"unknown weight source {source!r}")
+    return {"norm": "affine", "stride_1x1": source in ("detectron", "keras")}
 
 
 def fold_batchnorm(gamma, beta, mean, var, eps: float = 1e-5, conv_bias=None):
@@ -100,8 +118,9 @@ def detectron_resnet_params(blobs: Mapping[str, np.ndarray],
                             blocks: Sequence[int] = (3, 4, 6, 3)) -> dict:
     """Map Caffe2 ResNet blobs (`res{s}_{j}_branch2{a,b,c}_w/_bn_s/_bn_b`,
     stem `conv1_w`/`res_conv1_bn_s,b` — `lib/modeling/ResNet.py:353-391`)
-    onto ResNet(norm='affine') params. Detectron ships BN pre-folded into
-    scale/bias, so no statistics folding is needed."""
+    onto ResNet params. Detectron ships BN pre-folded into scale/bias, so
+    no statistics folding is needed. Instantiate the model with
+    ``resnet_import_kwargs('detectron')`` — Detectron strides the 1×1."""
     stem_kernel = _oihw_to_hwio(blobs["conv1_w"])
     stem_aff = _affine(blobs["res_conv1_bn_s"], blobs["res_conv1_bn_b"])
     out_blocks = []
@@ -153,9 +172,10 @@ def keras_resnet_params(flat: Mapping[str, np.ndarray],
                         eps: float = 1e-3) -> dict:
     """Map Matterport Keras ResNet weights (`conv1`/`bn_conv1`,
     `res{s}{letter}_branch2{a,b,c}` + `bn...` — `mrcnn/model.py:171-211`)
-    onto ResNet(norm='affine'). Keras kernels are HWIO already; raw BN
-    statistics (and Keras conv biases) are folded into the affine. Keras
-    BN default eps=1e-3."""
+    onto ResNet params. Keras kernels are HWIO already; raw BN statistics
+    (and Keras conv biases) are folded into the affine. Keras BN default
+    eps=1e-3. Instantiate the model with ``resnet_import_kwargs('keras')``
+    — Matterport's conv_block strides branch2a (the 1×1)."""
 
     def conv_and_affine(conv_name, bn_name):
         kernel = np.asarray(_keras_find(flat, conv_name, "kernel"), np.float32)
@@ -211,8 +231,9 @@ def torch_resnet_params(sd: Mapping[str, np.ndarray],
                         blocks: Sequence[int] = (3, 4, 6, 3),
                         eps: float = 1e-5) -> dict:
     """Map torchvision-style ResNet names (`conv1`/`bn1`,
-    `layer{s}.{j}.conv{1-3}/bn{1-3}/downsample.{0,1}`) onto
-    ResNet(norm='affine'), folding raw BN statistics."""
+    `layer{s}.{j}.conv{1-3}/bn{1-3}/downsample.{0,1}`) onto ResNet params,
+    folding raw BN statistics. Instantiate the model with
+    ``resnet_import_kwargs('torch')`` — torchvision strides the 3×3."""
 
     def affine_of(bn_prefix):
         scale, bias = fold_batchnorm(

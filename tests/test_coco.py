@@ -143,6 +143,13 @@ def test_coco_padded_resizes_boxes(coco_fixture):
     np.testing.assert_allclose(
         item["boxes_padded"][0], [4 * 64 / 40, 4 * 2, 16 * 64 / 40, 14 * 2], rtol=1e-6
     )
+    # masks must be resized alongside the image, not left at original res
+    assert item["masks"].shape[1:] == (64, 64)
+    for m, b in zip(item["masks"], item["boxes"]):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            assert xs.min() >= b[0] - 2 and xs.max() <= b[2] + 2
+            assert ys.min() >= b[1] - 2 and ys.max() <= b[3] + 2
 
 
 def test_train_detection_coco_runs(coco_fixture):

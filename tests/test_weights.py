@@ -28,11 +28,12 @@ WIDTH = 8
 
 
 class TorchBottleneck(tnn.Module):
-    def __init__(self, cin, width, stride):
+    def __init__(self, cin, width, stride, stride_1x1=False):
         super().__init__()
-        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        s1, s3 = (stride, 1) if stride_1x1 else (1, stride)
+        self.conv1 = tnn.Conv2d(cin, width, 1, stride=s1, bias=False)
         self.bn1 = tnn.BatchNorm2d(width)
-        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=s3, padding=1, bias=False)
         self.bn2 = tnn.BatchNorm2d(width)
         self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(width * 4)
@@ -54,7 +55,7 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchResNet(tnn.Module):
-    def __init__(self, blocks=BLOCKS, width=WIDTH):
+    def __init__(self, blocks=BLOCKS, width=WIDTH, stride_1x1=False):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(width)
@@ -65,7 +66,7 @@ class TorchResNet(tnn.Module):
             stage = []
             for j in range(n):
                 stride = 1 if (s == 0 or j > 0) else 2
-                stage.append(TorchBottleneck(cin, width, stride))
+                stage.append(TorchBottleneck(cin, width, stride, stride_1x1))
                 cin = width * 4
             setattr(self, f"layer{s + 1}", tnn.Sequential(*stage))
             width *= 2
@@ -110,6 +111,37 @@ def test_torch_import_matches_activations(torch_net):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), w, rtol=1e-4, atol=1e-4)
+
+
+def test_stride_1x1_import_matches_activations():
+    # Detectron/Keras checkpoints stride the first 1x1 conv (not the 3x3);
+    # the import must reproduce THAT network's activations when the flax
+    # model is built with resnet_import_kwargs for those sources.
+    torch.manual_seed(1)
+    net = TorchResNet(stride_1x1=True).eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    x = np.random.RandomState(1).rand(1, 33, 41, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [f.permute(0, 2, 3, 1).numpy()
+                for f in net(torch.from_numpy(x).permute(0, 3, 1, 2))]
+
+    params = W.torch_resnet_params(_torch_sd_numpy(net), blocks=BLOCKS)
+    kw = dict(W.resnet_import_kwargs("detectron"))
+    assert kw["stride_1x1"] is True and not W.resnet_import_kwargs("torch")["stride_1x1"]
+    model = ResNet(blocks=BLOCKS, base_width=WIDTH, **kw)
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, jnp.asarray(x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-4, atol=1e-4)
+    # and the two conventions genuinely differ (guards against a no-op flag)
+    plain = ResNet(blocks=BLOCKS, base_width=WIDTH, norm="affine")
+    other = plain.apply({"params": params}, jnp.asarray(x))
+    assert not np.allclose(np.asarray(other[-1]), want[-1], atol=1e-3)
 
 
 def test_detectron_pkl_import_matches_torch(torch_net, tmp_path):
