@@ -270,25 +270,37 @@ def _sort_rows(cols, extras=()):
     m = (d + 1) // 2
     rng = [s.max() + 1 for s in shifted]  # traced int32 column ranges
     logr = jnp.log2(jnp.stack(rng).astype(jnp.float32))
-    fits = (jnp.sum(logr[:m]) < 30.9) & (jnp.sum(logr[m:]) < 30.9)
+    fits2 = (jnp.sum(logr[:m]) < 30.9) & (jnp.sum(logr[m:]) < 30.9)
+    fits1 = jnp.sum(logr) < 30.9
 
-    def packed(_):
-        def pack(lo, hi):
-            key = shifted[lo]
-            for k in range(lo + 1, hi):
-                key = key * rng[k] + shifted[k]
-            return key
+    def pack(lo, hi):
+        key = shifted[lo]
+        for k in range(lo + 1, hi):
+            key = key * rng[k] + shifted[k]
+        return key
 
-        k_hi, k_lo = pack(0, m), pack(m, d)
+    def packed1(_):
+        # every column fits ONE 31-bit surrogate key → a single stable
+        # sort. Holds for the flagship bilateral guide (5 coordinate
+        # ranges of ~2⁵ each ≈ 26 bits) — measured, this is the common
+        # case; the 2-sort path only triggers for wide feature guides.
+        out = jax.lax.sort((pack(0, d), iota, *extras), num_keys=1, is_stable=True)
+        rc = out[0][1:] != out[0][:-1]
+        return (out[1], rc, tuple(out[2:]))
+
+    def packed2(_):
         # LSD radix: stable sort by the low key, then by the high key;
         # the other key and all payloads ride along (no gathers).
+        k_hi, k_lo = pack(0, m), pack(m, d)
         out1 = jax.lax.sort((k_lo, k_hi, iota, *extras), num_keys=1, is_stable=True)
         out2 = jax.lax.sort(out1[1:2] + out1[:1] + out1[2:], num_keys=1, is_stable=True)
         k_hi2, k_lo2, order = out2[0], out2[1], out2[2]
         rc = (k_hi2[1:] != k_hi2[:-1]) | (k_lo2[1:] != k_lo2[:-1])
         return (order, rc, tuple(out2[3:]))
 
-    return jax.lax.cond(fits, packed, lex, None)
+    return jax.lax.cond(
+        fits1, packed1,
+        lambda op: jax.lax.cond(fits2, packed2, lex, op), None)
 
 
 def build_plan(ref: jax.Array, max_vertices: int | None = None) -> PermutohedralPlan:
@@ -485,6 +497,29 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.einsum("...p,...pl->...l", onehot, segs)
 
 
+def _cumsum_rows(x: jax.Array, base: int = 2048) -> jax.Array:
+    """Inclusive prefix sum along axis 0 of (M, L), lane-packed.
+
+    `jnp.cumsum` over the major axis of an (M, L) array runs ~log2(M)
+    full-array passes, and when L < 128 each pass also wastes the padded
+    128−L lanes — measured 5.7 ms for the flagship splat's (663k, 16)
+    scan, ~8× over roofline. Hierarchical decomposition fixes both: pack
+    G = 128//L consecutive rows into one full lane-row, scan the short
+    G axis (log2(G) shifted adds at 100% lane utilization), and recurse on
+    the G-fold-smaller group sums; the final broadcast-add re-expands.
+    Exact up to f32 reassociation."""
+    M, L = x.shape
+    if M <= base:
+        return jnp.cumsum(x, axis=0)
+    G = max(_LANES // max(L, 1), 8)  # pack when L<128; blocked scan either way
+    R = -(-M // G)
+    xp = jnp.pad(x, ((0, R * G - M), (0, 0))).reshape(R, G, L)
+    intra = jnp.cumsum(xp, axis=1)  # unrolls to log2(G) lane-shift adds
+    gpref = _cumsum_rows(intra[:, -1], base)  # (R, L)
+    shift = jnp.concatenate([jnp.zeros((1, L), x.dtype), gpref[:-1]], axis=0)
+    return (intra + shift[:, None, :]).reshape(R * G, L)[:M]
+
+
 def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     """(n, L) → (C+1, L) vertex values; row C is the zero sentinel.
 
@@ -496,7 +531,8 @@ def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     C = plan.capacity
     L = src.shape[1]
     contrib = plan.sorted_weight[:, None] * src[plan.sorted_pixel]
-    cs = jnp.cumsum(contrib, axis=0, dtype=jnp.promote_types(src.dtype, jnp.float32))
+    acc = jnp.promote_types(src.dtype, jnp.float32)
+    cs = _cumsum_rows(contrib.astype(acc))
     cs = jnp.concatenate([jnp.zeros((1, L), cs.dtype), cs], axis=0)  # (N+1, L)
     lo = cs[plan.starts[:-1]]
     hi = cs[plan.starts[1:]]

@@ -1,0 +1,293 @@
+"""Benchmark suite — one measurement per BASELINE.json config.
+
+`bench.py` is the driver's single headline line (flagship Tsukuba lattice
+CRF). This suite covers the remaining BASELINE configs end-to-end:
+
+  1. tsukuba_dense   — Tsukuba 384×288, 16 labels, dense O(n²) mean-field
+                       CRF (`Experiments/DenseCrf.ipynb` semantics).
+  2. middlebury64    — half-res Middlebury-scale pair (994×1482), 64
+                       labels, permutohedral message passing. Uses the real
+                       Middlebury 2014 pair when present on disk, else the
+                       procedural natural-statistics stand-in
+                       (`data/synthetic.py` — no downloads in this image).
+  3. trainable_step  — trainable CRF fwd+bwd+Adam step on Tsukuba (learned
+                       guide scales + Mu, gradients through the lattice
+                       VJP — `trainableDenseCRF.ipynb` cell 14 semantics).
+  4. fullres128      — ≥1920×1080 frame, 128 labels, single-chip lattice
+                       CRF (the per-chip term of the tiled config; the
+                       multi-chip halo-exchange path itself is validated on
+                       the virtual mesh by tests/test_sharding.py — no
+                       multi-chip hardware in this container).
+  5. serving_batched — StereoServer frames/s, batch of 8 Tsukuba-scale
+                       frames through one vmapped program.
+
+Usage: python tools/bench_suite.py [--device cpu] [--configs 1,2,5]
+Emits one JSON line per config (and writes BENCH_SUITE.json at the repo
+root unless --no-write). Like bench.py, a supervisor re-execs each config
+as a worker with a timeout: the axon TPU relay intermittently blocks
+process start, and one wedged config must not kill the suite.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+ALL_CONFIGS = ("tsukuba_dense", "middlebury64", "trainable_step",
+               "fullres128", "serving_batched")
+
+
+def _supervised(argv) -> int:
+    results = {}
+    names = _parse_configs(argv)
+    for name in names:
+        env = dict(os.environ, DET_SUITE_WORKER=name)
+        line = None
+        for attempt in range(3):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), *argv],
+                    env=env, timeout=1500, capture_output=True, text=True)
+            except subprocess.TimeoutExpired:
+                print(f"[{name}] worker timed out (attempt {attempt + 1})",
+                      file=sys.stderr)
+                continue
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("{")), None)
+            if proc.returncode == 0 and line:
+                break
+            print(f"[{name}] worker rc={proc.returncode} "
+                  f"(attempt {attempt + 1}):\n" + proc.stderr[-2000:],
+                  file=sys.stderr)
+            line = None
+        if line:
+            print(line)
+            results[name] = json.loads(line)
+        else:
+            results[name] = {"error": "worker failed"}
+    if "--no-write" not in argv:
+        with open(os.path.join(ROOT, "BENCH_SUITE.json"), "w") as f:
+            json.dump(results, f, indent=1)
+    return 0 if all("error" not in r for r in results.values()) else 1
+
+
+def _parse_configs(argv):
+    ap = _argparser()
+    args, _ = ap.parse_known_args(argv)
+    if args.configs:
+        picks = []
+        for tok in args.configs.split(","):
+            tok = tok.strip()
+            picks.append(ALL_CONFIGS[int(tok) - 1] if tok.isdigit() else tok)
+        return picks
+    return list(ALL_CONFIGS)
+
+
+def _argparser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None)
+    ap.add_argument("--configs", default=None,
+                    help="comma list, names or 1-based indices")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--no-write", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes (CI sanity, numbers not comparable)")
+    return ap
+
+
+# ---------------------------------------------------------------------------
+# workers
+# ---------------------------------------------------------------------------
+
+
+def _timeit(fn, *xs, reps: int):
+    import jax
+
+    out = fn(*xs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*xs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def _tsukuba(args):
+    import jax.numpy as jnp
+    from depth_estimation_tpu.data.datasets import TsukubaPair
+
+    tsu = TsukubaPair()
+    if tsu.available() and not args.small:
+        item = tsu.load()
+        return (jnp.asarray(item["left"], jnp.float32),
+                jnp.asarray(item["right"], jnp.float32))
+    import numpy as np
+    h, w = (64, 96) if args.small else (288, 384)
+    rng = np.random.RandomState(0)
+    return (jnp.asarray(rng.rand(h, w, 3), jnp.float32),
+            jnp.asarray(rng.rand(h, w, 3), jnp.float32))
+
+
+def _natural_pair(args, h, w, max_disp):
+    """Real Middlebury pair if on disk, else the procedural stand-in."""
+    import numpy as np
+    import jax.numpy as jnp
+    from depth_estimation_tpu.data.datasets import MiddleburyStereo2014
+    from depth_estimation_tpu.data.synthetic import make_stereo_pair
+
+    try:
+        mb = MiddleburyStereo2014()
+        if len(mb):
+            item = mb[0]
+            L = np.asarray(item["left"], np.float32)[:h, :w]
+            R = np.asarray(item["right"], np.float32)[:h, :w]
+            if L.shape[:2] == (h, w):
+                return jnp.asarray(L), jnp.asarray(R), "middlebury2014"
+    except Exception:
+        pass
+    left, right, _ = make_stereo_pair(
+        np.random.RandomState(0), h, w, num_layers=6, max_disp=max_disp)
+    return (jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            "synthetic_layers")
+
+
+def _lattice_cfg(cfg0, left):
+    """Tight measured lattice capacity, as bench.py does."""
+    from dataclasses import replace
+    from depth_estimation_tpu.crf.guides import stack_guide
+    from depth_estimation_tpu.ops.permutohedral import suggest_capacity
+
+    h, w, _ = left.shape
+    ref = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos).reshape(h * w, -1)
+    return replace(cfg0, max_vertices=suggest_capacity(ref, headroom=3.0))
+
+
+def run_config(name: str, args) -> dict:
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
+                                                      crf_stereo_infer)
+
+    dev = lambda: str(jax.devices()[0])
+
+    if name == "tsukuba_dense":
+        left, right = _tsukuba(args)
+        cfg = CRFStereoConfig(num_disp=16, niters=5, backend="dense")
+        fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
+        dt = _timeit(fn, left, right, reps=args.reps)
+        return {"config": name, "metric": "pipeline_ms", "value": dt * 1e3,
+                "unit": f"ms ({left.shape[0]}x{left.shape[1]}, L=16, dense O(n^2))",
+                "device": dev()}
+
+    if name == "middlebury64":
+        h, w, L = ((96, 128, 16) if args.small else (994, 1482, 64))
+        left, right, source = _natural_pair(args, h, w, max_disp=L - 2)
+        cfg = _lattice_cfg(
+            CRFStereoConfig(num_disp=L, niters=5, backend="lattice"), left)
+        fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
+        dt = _timeit(fn, left, right, reps=args.reps)
+        return {"config": name, "metric": "crf_meanfield_iters_per_s",
+                "value": cfg.niters / dt,
+                "unit": f"iters/s/chip ({h}x{w}, L={L}, d=5 bilateral)",
+                "pipeline_ms": dt * 1e3, "source": source,
+                "max_vertices": cfg.max_vertices, "device": dev()}
+
+    if name == "trainable_step":
+        import optax
+        from depth_estimation_tpu.models.refiner import (crf_rnn_init,
+                                                         crf_rnn_apply)
+        from depth_estimation_tpu.models.pipeline import stereo_unary
+
+        left, right = _tsukuba(args)
+        h, w, _ = left.shape
+        L = 16
+        cfg = CRFStereoConfig(num_disp=L, niters=5, backend="lattice")
+        E0 = stereo_unary(left, right, cfg)
+        params = crf_rnn_init(backend="lattice")
+        gt = jnp.zeros((h, w))
+        mask = jnp.ones((h, w))
+        opt = optax.adam(3e-2)
+        state = opt.init(params)
+
+        def loss_fn(p):
+            logits = crf_rnn_apply(p, left, -E0, niters=cfg.niters,
+                                   backend="lattice")
+            disp = (jax.nn.softmax(logits, -1)
+                    @ jnp.arange(L, dtype=jnp.float32)).reshape(h, w)
+            return jnp.sum(mask * (disp - gt) ** 2) / jnp.sum(mask)
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            up, s = opt.update(g, s)
+            return optax.apply_updates(p, up), s, l
+
+        out = step(params, state)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        p, s = params, state
+        for _ in range(args.reps):
+            p, s, l = step(p, s)
+        jax.block_until_ready(l)
+        dt = (time.perf_counter() - t0) / args.reps
+        return {"config": name, "metric": "train_step_ms", "value": dt * 1e3,
+                "unit": f"ms fwd+bwd+adam ({h}x{w}, L={L}, lattice VJP)",
+                "device": dev()}
+
+    if name == "fullres128":
+        h, w, L = ((96, 128, 16) if args.small else (1088, 1920, 128))
+        left, right, source = _natural_pair(args, h, w, max_disp=min(L - 2, 96))
+        cfg = _lattice_cfg(
+            CRFStereoConfig(num_disp=L, niters=5, backend="lattice"), left)
+        fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
+        dt = _timeit(fn, left, right, reps=max(args.reps // 2, 2))
+        return {"config": name, "metric": "frames_per_s", "value": 1.0 / dt,
+                "unit": f"frames/s/chip ({h}x{w}, L={L}); tiled multi-chip "
+                        "path validated on virtual mesh (tests/test_sharding.py)",
+                "pipeline_ms": dt * 1e3, "source": source,
+                "max_vertices": cfg.max_vertices, "device": dev()}
+
+    if name == "serving_batched":
+        from depth_estimation_tpu.models.serving import StereoServer
+
+        left, right = _tsukuba(args)
+        B = 2 if args.small else 8
+        lb = jnp.broadcast_to(left, (B,) + left.shape)
+        rb = jnp.broadcast_to(right, (B,) + right.shape)
+        cfg = _lattice_cfg(
+            CRFStereoConfig(num_disp=16, niters=5, backend="lattice"), left)
+        server = StereoServer(cfg)
+        stats = server.throughput(lb, rb, reps=args.reps)
+        return {"config": name, "metric": "frames_per_s",
+                "value": stats["frames_per_s"],
+                "unit": f"frames/s/chip (B={B}, {left.shape[0]}x{left.shape[1]}, "
+                        "L=16, one vmapped program)",
+                "device": dev()}
+
+    raise SystemExit(f"unknown config {name!r}")
+
+
+def main():
+    args = _argparser().parse_args()
+    name = os.environ["DET_SUITE_WORKER"]
+    res = run_config(name, args)
+    for k, v in res.items():
+        if isinstance(v, float):
+            res[k] = round(v, 3)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    if os.environ.get("DET_SUITE_WORKER"):
+        main()
+    else:
+        sys.exit(_supervised(sys.argv[1:]))
