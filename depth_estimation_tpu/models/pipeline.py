@@ -45,6 +45,9 @@ class CRFStereoConfig:
     # lattice vertex capacity: None = auto (pow2 ≥ 2n — fast, ~3x headroom
     # over measured occupancy); pass n·(d+1) for the exact worst case.
     max_vertices: int | None = None
+    # quality dial: average k rotation-averaged lattices (k× plan+apply
+    # cost, lower anisotropic approximation error). 1 = reference parity.
+    num_lattices: int = 1
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -83,8 +86,17 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         if cap is None:
             cap = 1 << (2 * h * w - 1).bit_length()  # pow2 ≥ 2n
             cap = min(cap, ref.shape[0] * (ref.shape[1] + 1))
-        plan = build_plan(ref, max_vertices=cap)
-        message_fn = lambda Q: apply_plan(plan, Q) - Q
+        from ..ops.permutohedral import rotation_matrices
+
+        plans = [
+            build_plan(ref if m == 0 else ref @ jnp.asarray(R, ref.dtype),
+                       max_vertices=cap)
+            for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
+        ]
+
+        def message_fn(Q):
+            out = sum(apply_plan(p, Q) for p in plans) / len(plans)
+            return out - Q
     elif cfg.backend == "dense":
         message_fn = lambda Q: dense_gaussian_filter(Q, ref) - Q
     else:

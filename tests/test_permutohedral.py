@@ -84,6 +84,42 @@ def test_filter_high_dim_loose(rng):
     assert corr > 0.93, f"d=5 corr {corr}"
 
 
+def test_multi_lattice_improves_high_dim_accuracy(rng):
+    # Rotation-averaged lattices approximate the SAME (rotation-invariant)
+    # Gaussian operator; averaging cancels anisotropic discretization error,
+    # so accuracy vs the dense oracle must improve monotonically enough to
+    # gate. Checked on the scale-free homogeneous-normalized filter.
+    n, d = 300, 5
+    ref = jnp.asarray(rng.randn(n, d) * 1.5)
+    src = jnp.asarray(rng.rand(n, 2))
+    out_d = np.asarray(dense_gaussian_filter(src, ref, block=64))
+    deg = np.asarray(dense_gaussian_filter(jnp.ones((n, 1), src.dtype), ref, block=64))
+    target = out_d / deg
+
+    def rel_err(k):
+        out = np.asarray(
+            jax.jit(partial(lattice_filter, normalize="homogeneous", num_lattices=k))(
+                src, ref
+            )
+        )
+        return np.linalg.norm(out - target) / np.linalg.norm(target)
+
+    e1, e4 = rel_err(1), rel_err(4)
+    # deterministic seed: measured 0.102 → 0.092 on this data (larger gains
+    # on smoother/low-σ references); gate the direction with margin
+    assert e4 < 0.95 * e1, f"multi-lattice err {e4} vs single {e1}"
+
+
+def test_multi_lattice_grad_flows(rng):
+    n, d, L = 80, 3, 2
+    ref = jnp.asarray(rng.randn(n, d))
+    src = jnp.asarray(rng.rand(n, L))
+    loss = lambda s, r: jnp.sum(lattice_filter(s, r, num_lattices=2) ** 2)
+    gs, gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(src, ref)
+    assert np.isfinite(np.asarray(gs)).all() and np.isfinite(np.asarray(gr)).all()
+    assert float(jnp.abs(gr).sum()) > 0
+
+
 def test_apply_plan_linear_and_transpose(rng):
     # <g, A s> == <A^T g, s> exactly (the reverse-blur transpose identity).
     n, d, L = 150, 2, 3
