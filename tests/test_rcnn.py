@@ -73,3 +73,37 @@ def test_maskrcnn_inference_flow():
     assert np.isfinite(b).all()
     assert (b[:, 2] >= b[:, 0] - 1e-5).all() and (b[:, 3] >= b[:, 1] - 1e-5).all()
     assert np.asarray(out["masks"]).min() >= 0 and np.asarray(out["masks"]).max() <= 1
+
+
+def test_keypoint_head_and_loss():
+    from depth_estimation_tpu.models.detection.rcnn import KeypointHead, keypoint_loss
+
+    head = KeypointHead(num_keypoints=5, dim=32)
+    feats = jnp.asarray(np.random.RandomState(0).rand(3, 14, 14, 16), jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), feats)
+    logits = jax.jit(head.apply)(params, feats)
+    assert logits.shape == (3, 56, 56, 5)  # 4x upsampled heatmaps
+
+    # loss: picking the argmax bin as target must give a lower loss than a
+    # far-away bin, and gradients must flow to conv params
+    m = logits.shape[1]
+    flat = np.asarray(logits).reshape(3, m * m, 5)
+    best = flat.argmax(axis=1)  # (3, 5)
+    xy_good = jnp.stack([best % m, best // m], axis=-1).astype(jnp.float32)
+    xy_bad = (xy_good + m // 2) % m
+    vis = jnp.ones((3, 5), bool)
+    fg = jnp.ones((3,), bool)
+    l_good = float(keypoint_loss(logits, xy_good, vis, fg))
+    l_bad = float(keypoint_loss(logits, xy_bad, vis, fg))
+    assert l_good < l_bad
+
+    def loss_fn(p):
+        return keypoint_loss(head.apply(p, feats), xy_good, vis, fg)
+
+    g = jax.jit(jax.grad(loss_fn))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+    # masking: invisible keypoints contribute nothing
+    l_masked = float(keypoint_loss(logits, xy_good, jnp.zeros((3, 5), bool), fg))
+    assert l_masked == 0.0
