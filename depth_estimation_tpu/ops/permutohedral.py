@@ -501,10 +501,18 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     per 6 passes) but a LOSS for pixel-side gathers whose outputs dominate
     (slice 6.2→15.3ms) — so only the blur uses this. Exactly equivalent to
     `table[idx]`.
+
+    TPU-only: on the CPU backend the packing buys nothing AND the
+    pad→reshape→gather→one-hot-einsum chain, fused into the surrounding
+    blur graph, triggers an XLA:CPU codegen heap overflow (glibc aborts
+    `corrupted size vs. prev_size` / garbage outputs, ~25% of runs on
+    jaxlib 0.9.0; minimal at /tmp-era repro: plan+splat+packed-blur at
+    (121, 4) f64). Trace-time backend gate: tests and the virtual mesh
+    take the plain-gather path, real TPU keeps the packed layout.
     """
     R, L = table.shape
     pack = max(1, _LANES // max(L, 1))
-    if pack == 1:
+    if pack == 1 or jax.default_backend() == "cpu":
         return table[idx]
     G = -(-R // pack)
     padded = jnp.pad(table, ((0, G * pack - R), (0, 0)))

@@ -234,3 +234,56 @@ def test_packed_sort_rows_matches_numpy_lexsort(rng):
             np.asarray(rc), np.any(skeys[1:] != skeys[:-1], axis=1)
         )
         np.testing.assert_array_equal(np.asarray(pay), payload[want_order])
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+@pytest.mark.parametrize("d", [1, 2, 5])
+def test_degenerate_constant_ref(d, dtype):
+    """All points in one simplex (constant reference) — the exact case that
+    exposed the XLA:CPU lane-packed-gather heap overflow (round-3 fix in
+    ops/permutohedral.py:_row_gather). Homogeneous normalization must return
+    the per-channel mean for any d, in both precisions."""
+    n = 40
+    ref = jnp.full((n, d), 0.37, dtype)
+    src = jnp.asarray(np.random.RandomState(3).rand(n, 3), dtype)
+    out = np.asarray(
+        jax.jit(partial(lattice_filter, normalize="homogeneous"))(src, ref)
+    )
+    tol = 1e-5 if dtype == jnp.float32 else 1e-9
+    np.testing.assert_allclose(
+        out, np.broadcast_to(np.asarray(src).mean(0), out.shape), rtol=tol
+    )
+
+
+def test_degenerate_single_distinct_column(rng):
+    """Only one feature column varies; the rest are constant (zero-range
+    columns stress the packed-key fast path of _sort_rows)."""
+    n, d = 120, 4
+    ref = np.zeros((n, d))
+    ref[:, 2] = rng.randn(n) * 2.0
+    ref = jnp.asarray(ref)
+    src = jnp.asarray(rng.rand(n, 2))
+    out = np.asarray(jit_filter_homog(src, ref))
+    # the d=4 lattice on (const, const, x, const) is not the d=1 lattice on
+    # x — the embedding mixes axes — so gate on the dense oracle instead
+    dn = np.asarray(dense_gaussian_filter(src, ref, block=64))
+    ones = np.asarray(dense_gaussian_filter(jnp.ones((n, 1)), ref, block=64))
+    corr = np.corrcoef(out.ravel(), (dn / ones).ravel())[0, 1]
+    assert np.isfinite(out).all()
+    assert corr > 0.95, corr  # garbage → ~0
+
+
+@pytest.mark.parametrize("n", [32, 40, 64, 63])
+def test_splat_group_boundary_sizes(rng, n):
+    """N = n·(d+1) at and around multiples of the splat's lane-pack group
+    G = 128/L — exercises the boundary-only prefix-sum gather (b == R edge,
+    o == 0 edge) against the dense oracle."""
+    d, L = 3, 32  # G = 4, N = 4n → n=32: N=128 ≡ 0 (mod G)
+    ref = jnp.asarray(rng.randn(n, d))
+    src = jnp.asarray(rng.rand(n, L))
+    out = np.asarray(jit_filter_homog(src, ref))
+    dn = np.asarray(dense_gaussian_filter(src, ref, block=64))
+    ones = np.asarray(dense_gaussian_filter(jnp.ones((n, 1)), ref, block=64))
+    corr = np.corrcoef(out.ravel(), (dn / ones).ravel())[0, 1]
+    assert np.isfinite(out).all()
+    assert corr > 0.95, corr  # approximation-quality floor; garbage → ~0
