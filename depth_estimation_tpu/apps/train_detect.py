@@ -1,11 +1,14 @@
 """CLI: train the detection family (shapes by default, COCO-format if given).
 
   python -m depth_estimation_tpu.apps.train_detect [--steps 200]
-      [--coco-root imgs/ --coco-ann ann.json] [--out params.msgpack]
+      [--coco-root imgs/ --coco-ann ann.json] [--keypoints]
+      [--holdout N] [--out params.msgpack]
 
-Trains MaskRCNN (RPN + box head losses) and reports mAP@0.5. Without a
-COCO dataset it uses the procedural shapes fixtures (the reference's
-shapes-train protocol).
+Trains MaskRCNN with the full multi-task loss — RPN objectness/box + ROI
+class/box + mask BCE (+ keypoint CE with --keypoints) — and reports
+mAP@0.5 and ROI-frame mask IoU, on held-out items when --holdout is set.
+Without a COCO dataset it uses the procedural shapes fixtures (the
+reference's shapes-train protocol).
 """
 from __future__ import annotations
 
@@ -20,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--items", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="evaluate on N held-out shapes items")
+    ap.add_argument("--keypoints", action="store_true",
+                    help="train the keypoint branch too (shapes only)")
     ap.add_argument("--coco-root", default=None)
     ap.add_argument("--coco-ann", default=None)
     ap.add_argument("--out", default=None, help="flax msgpack params path")
@@ -40,7 +47,8 @@ def main(argv=None):
         )
     else:
         params, hist = train_detection_shapes(
-            num_steps=args.steps, num_items=args.items, h=args.size, lr=args.lr
+            num_steps=args.steps, num_items=args.items, h=args.size,
+            lr=args.lr, holdout=args.holdout, with_keypoints=args.keypoints,
         )
     if args.out:
         import flax.serialization as ser
@@ -54,6 +62,7 @@ def main(argv=None):
                 "loss_first": hist["loss"][0],
                 "loss_last": hist["loss"][-1],
                 "map50": hist["map50"],
+                "mask_iou": hist.get("mask_iou"),
                 "out": args.out,
             }
         )

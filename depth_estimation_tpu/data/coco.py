@@ -203,9 +203,13 @@ class COCODetection:
         bp = np.zeros((max_gt, 4), np.float32)
         cp = np.zeros((max_gt,), np.int32)
         vp = np.zeros((max_gt,), bool)
+        ih, iw = img.shape[:2]
+        mp = np.zeros((max_gt, ih, iw), np.float32)
         bp[:g] = boxes[:g]
         cp[:g] = item["classes"][:g]
         vp[:g] = True
+        if len(item["masks"]):
+            mp[:g] = item["masks"][:g].astype(np.float32)
         item.update(
             {
                 "image": img,
@@ -214,6 +218,7 @@ class COCODetection:
                 "boxes_padded": bp,
                 "classes_padded": cp,
                 "gt_valid": vp,
+                "masks_padded": mp,
             }
         )
         return item

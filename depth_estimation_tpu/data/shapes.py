@@ -17,6 +17,7 @@ import numpy as np
 __all__ = ["ShapesDetection", "draw_shape"]
 
 NUM_CLASSES = 4  # bg + 3
+NUM_KEYPOINTS = 5  # center + 4 edge midpoints (synthetic landmark set)
 
 
 def draw_shape(img, mask, shape_id, cx, cy, size, color):
@@ -51,7 +52,7 @@ class ShapesDetection:
         img = np.ones((self.h, self.w, 3)) * rng.rand(3) * 0.4
         img += rng.randn(self.h, self.w, 3) * 0.02
         n = rng.randint(1, self.max_shapes + 1)
-        boxes, classes, masks = [], [], []
+        boxes, classes, masks, keypoints = [], [], [], []
         for _ in range(n):
             cls = rng.randint(1, NUM_CLASSES)
             size = rng.randint(self.h // 10, self.h // 4)
@@ -63,6 +64,17 @@ class ShapesDetection:
             boxes.append([cx - size, cy - size, cx + size, cy + size])
             classes.append(cls)
             masks.append(mask)
+            # NUM_KEYPOINTS fixed landmarks per instance (synthetic stand-in
+            # for COCO's 17 person keypoints): center + 4 edge midpoints.
+            keypoints.append(
+                [
+                    [cx, cy],
+                    [cx, cy - size],
+                    [cx, cy + size],
+                    [cx - size, cy],
+                    [cx + size, cy],
+                ]
+            )
         # occlusion: later shapes overwrite earlier masks
         for i in range(len(masks) - 1):
             for j in range(i + 1, len(masks)):
@@ -72,18 +84,35 @@ class ShapesDetection:
             "boxes": np.asarray(boxes, np.float32),
             "classes": np.asarray(classes, np.int32),
             "masks": np.stack(masks),
+            "keypoints": np.asarray(keypoints, np.float32),
         }
 
     def padded(self, idx: int, max_gt: int | None = None):
-        """Fixed-shape variant: (boxes, classes, valid) padded to max_gt."""
+        """Fixed-shape variant: GT (boxes, classes, masks, keypoints)
+        padded to max_gt with a validity mask."""
         item = self[idx]
         max_gt = max_gt or self.max_shapes
         g = len(item["classes"])
         boxes = np.zeros((max_gt, 4), np.float32)
         classes = np.zeros((max_gt,), np.int32)
         valid = np.zeros((max_gt,), bool)
+        masks = np.zeros((max_gt, self.h, self.w), np.float32)
+        kps = np.zeros((max_gt, NUM_KEYPOINTS, 2), np.float32)
+        kp_vis = np.zeros((max_gt, NUM_KEYPOINTS), bool)
         boxes[:g] = item["boxes"]
         classes[:g] = item["classes"]
         valid[:g] = True
-        item.update({"boxes_padded": boxes, "classes_padded": classes, "gt_valid": valid})
+        masks[:g] = item["masks"]
+        kps[:g] = item["keypoints"]
+        kp_vis[:g] = True
+        item.update(
+            {
+                "boxes_padded": boxes,
+                "classes_padded": classes,
+                "gt_valid": valid,
+                "masks_padded": masks,
+                "keypoints_padded": kps,
+                "kp_visible_padded": kp_vis,
+            }
+        )
         return item

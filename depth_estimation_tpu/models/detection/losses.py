@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...ops.detection import encode_boxes, iou_matrix
+from ...ops.detection import encode_boxes, iou_matrix, roi_align
 
 __all__ = [
     "smooth_l1",
@@ -24,6 +24,8 @@ __all__ = [
     "rpn_losses",
     "roi_losses",
     "mask_loss",
+    "roi_mask_targets",
+    "keypoint_targets",
 ]
 
 
@@ -113,6 +115,62 @@ def roi_losses(
     reg = smooth_l1(deltas_at_cls - reg_tgt).sum(-1)
     reg_loss = (reg * fg).sum() / jnp.maximum(fg.sum(), 1)
     return cls_loss, reg_loss, tgt_cls, best_gt, fg
+
+
+def roi_mask_targets(
+    gt_masks: jax.Array,  # (G, h, w) {0,1} full-image instance masks
+    best_gt: jax.Array,  # (R,) matched GT index per proposal
+    proposals: jax.Array,  # (R, 4)
+    size: tuple[int, int] = (28, 28),
+) -> jax.Array:
+    """ROI-frame GT mask targets: crop+resize each proposal's matched GT
+    instance mask to the mask-head resolution.
+
+    `DetectionTargetLayer` semantics (`Mask_RCNN/mrcnn/model.py:623-686`
+    crops GT masks with `tf.image.crop_and_resize` per sampled ROI;
+    `mask-rcnn.pytorch/lib/roi_data/mask_rcnn.py` rasterizes polygons into
+    the ROI frame). XLA-first: stack the G instance masks as CHANNELS of
+    one (h, w, G) image, ROI-Align every proposal against all of them in a
+    single fixed-shape call, then select the matched channel — no per-ROI
+    dynamic crops. G is the (small) static GT pad size, so the widened
+    intermediate is cheap.
+
+    Returns (R, m, m) float {0,1} targets (bilinear crop binarized at 0.5,
+    matching the reference's `tf.round` after crop_and_resize).
+    """
+    stacked = jnp.moveaxis(gt_masks.astype(jnp.float32), 0, -1)  # (h, w, G)
+    crops = roi_align(stacked, proposals, size, spatial_scale=1.0)  # (R,m,m,G)
+    picked = jnp.take_along_axis(
+        crops, best_gt[:, None, None, None], axis=-1
+    )[..., 0]
+    return (picked >= 0.5).astype(jnp.float32)
+
+
+def keypoint_targets(
+    gt_keypoints: jax.Array,  # (G, K, 2) xy image coords
+    gt_kp_visible: jax.Array,  # (G, K) bool
+    best_gt: jax.Array,  # (R,)
+    proposals: jax.Array,  # (R, 4)
+    heatmap_size: int = 56,
+):
+    """Map each matched GT keypoint into its proposal's heatmap bin frame
+    (`lib/roi_data/keypoint_rcnn.py` target semantics): bin coords in
+    [0, m), visibility ANDed with in-ROI containment.
+
+    Returns (tgt_xy (R, K, 2) float bin coords, visible (R, K) bool) —
+    the `keypoint_loss` contract (rcnn.py).
+    """
+    m = heatmap_size
+    kps = gt_keypoints[best_gt]  # (R, K, 2)
+    vis = gt_kp_visible[best_gt]  # (R, K)
+    x1, y1 = proposals[:, 0], proposals[:, 1]
+    bw = jnp.maximum(proposals[:, 2] - x1, 1.0)
+    bh = jnp.maximum(proposals[:, 3] - y1, 1.0)
+    bx = (kps[..., 0] - x1[:, None]) / bw[:, None] * m
+    by = (kps[..., 1] - y1[:, None]) / bh[:, None] * m
+    inb = (bx >= 0) & (bx < m) & (by >= 0) & (by < m)
+    tgt_xy = jnp.stack([jnp.floor(bx), jnp.floor(by)], axis=-1)
+    return tgt_xy, vis & inb
 
 
 def mask_loss(

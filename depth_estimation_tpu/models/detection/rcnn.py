@@ -25,7 +25,14 @@ from ...ops.detection import clip_boxes, decode_boxes, nms, roi_align
 from .anchors import pyramid_anchors
 from .backbone import ResNetFPN
 
-__all__ = ["RPNHead", "BoxHead", "MaskHead", "MaskRCNN", "fpn_level_for_boxes"]
+__all__ = [
+    "RPNHead",
+    "BoxHead",
+    "MaskHead",
+    "MaskRCNN",
+    "fpn_level_for_boxes",
+    "perclass_detections",
+]
 
 FPN_STRIDES = (4, 8, 16, 32, 64)
 FPN_SCALES = (32, 64, 128, 256, 512)
@@ -111,8 +118,66 @@ def pyramid_roi_align(feats, boxes, output_size=(7, 7)):
     )[0]
 
 
+def perclass_detections(
+    probs: jax.Array,  # (P, K) softmax class probabilities
+    cls_deltas: jax.Array,  # (P, K, 4) per-class box deltas
+    proposals: jax.Array,  # (P, 4)
+    prop_valid: jax.Array,  # (P,)
+    h: int,
+    w: int,
+    num_detections: int,
+    nms_thresh: float = 0.5,
+    score_thresh: float = 0.05,
+):
+    """Per-class DetectionLayer (`mrcnn/model.py:785-832`,
+    `lib/core/test.py:161-176` per-class refine+NMS), fixed-shape: every
+    (proposal, foreground class) pair is a candidate with its OWN
+    class-specific refined box; top-M candidates by score feed a single
+    class-aware NMS (boxes offset into per-class coordinate slabs so
+    suppression never crosses classes). Two overlapping objects of
+    different classes on the same proposal both survive — the capability
+    the argmax-class simplification dropped.
+
+    Returns (boxes (D, 4), classes (D,), scores (D,), valid (D,)).
+    """
+    P, K = probs.shape
+    cand_scores = jnp.where(prop_valid[:, None], probs[:, 1:], 0.0).reshape(-1)
+    cand_boxes = clip_boxes(
+        decode_boxes(
+            jnp.repeat(proposals, K - 1, axis=0),
+            cls_deltas[:, 1:].reshape(-1, 4),
+        ),
+        h, w,
+    )  # (P·(K−1), 4)
+    cand_cls = jnp.tile(jnp.arange(1, K, dtype=jnp.int32), P)
+    M = min(4 * num_detections, P * (K - 1))
+    topc = jnp.argsort(-cand_scores)[:M]
+    slab = cand_cls[topc].astype(cand_boxes.dtype)[:, None] * (
+        float(max(h, w)) + 1.0
+    )
+    keep, valid = nms(
+        cand_boxes[topc] + slab, cand_scores[topc],
+        nms_thresh, num_detections, score_threshold=score_thresh,
+    )
+    safe = topc[jnp.maximum(keep, 0)]
+    return (
+        jnp.where(valid[:, None], cand_boxes[safe], 0.0),
+        jnp.where(valid, cand_cls[safe], 0),
+        jnp.where(valid, cand_scores[safe], 0.0),
+        valid,
+    )
+
+
 class MaskRCNN(nn.Module):
-    """End-to-end two-stage detector (inference graph)."""
+    """End-to-end two-stage detector (inference graph).
+
+    `num_keypoints > 0` adds the keypoint branch to the graph — the
+    `cfg.MODEL.KEYPOINTS_ON` wiring of the reference
+    (`mask-rcnn.pytorch/lib/modeling/model_builder.py:110-124, 216-230`):
+    a `KeypointHead` over the same (14, 14) ROI features, heatmap logits
+    on proposals when training (targets are per-proposal) and decoded
+    argmax keypoint coordinates on final detections at inference.
+    """
 
     num_classes: int = 81
     blocks: Sequence[int] = (3, 4, 6, 3)
@@ -122,10 +187,14 @@ class MaskRCNN(nn.Module):
     rpn_nms_thresh: float = 0.7
     det_nms_thresh: float = 0.5
     score_thresh: float = 0.05
+    num_keypoints: int = 0
 
     @nn.compact
-    def __call__(self, image, train: bool = False):  # (h, w, 3) → dict
+    def __call__(
+        self, image, train: bool = False, gt_boxes=None, gt_valid=None
+    ):  # (h, w, 3) → dict
         h, w = image.shape[:2]
+        K = self.num_classes
         feats = ResNetFPN(self.blocks, self.fpn_dim)(image[None])
         rpn_logits, rpn_deltas = RPNHead(dim=self.fpn_dim)(feats)
 
@@ -142,36 +211,34 @@ class MaskRCNN(nn.Module):
         )
         prop_idx = top[jnp.maximum(keep, 0)]
         proposals = jnp.where(valid[:, None], boxes[prop_idx], 0.0)  # (P, 4)
+        if train and gt_boxes is not None:
+            # Append GT boxes to the training ROI set (Detectron's
+            # `TRAIN.PROPOSAL_APPEND_GT`, `lib/datasets/json_dataset.py`
+            # `_merge_proposal_boxes_into_roidb` +
+            # `Mask_RCNN/mrcnn/model.py` USE_RPN_ROIS semantics): the ROI
+            # heads see foreground samples from step 0 instead of waiting
+            # for the RPN to converge. Static shape: GT replaces the
+            # lowest-ranked proposal slots.
+            G = gt_boxes.shape[0]
+            proposals = jnp.concatenate([proposals[:-G], gt_boxes], axis=0)
+            valid = jnp.concatenate([valid[:-G], gt_valid], axis=0)
+        P = proposals.shape[0]
 
         # Box head on pooled proposals.
         roi_feats = pyramid_roi_align(feats, proposals, (7, 7))
-        cls_scores, cls_deltas = BoxHead(self.num_classes)(roi_feats)
+        cls_scores, cls_deltas = BoxHead(K)(roi_feats)
         probs = jax.nn.softmax(cls_scores, axis=-1)
 
-        # Per-ROI best non-background class (`DetectionLayer`,
-        # `mrcnn/model.py:785-832` simplified to argmax class).
-        best = jnp.argmax(probs[:, 1:], axis=-1) + 1
-        best_prob = jnp.take_along_axis(probs, best[:, None], axis=1)[:, 0]
-        best_prob = jnp.where(valid, best_prob, 0.0)
-        best_deltas = jnp.take_along_axis(
-            cls_deltas, best[:, None, None].repeat(4, -1), axis=1
-        )[:, 0]
-        det_boxes = clip_boxes(decode_boxes(proposals, best_deltas), h, w)
-
-        keep2, valid2 = nms(
-            det_boxes, best_prob, self.det_nms_thresh, self.num_detections,
-            score_threshold=self.score_thresh,
+        final_boxes, final_cls, final_scores, valid2 = perclass_detections(
+            probs, cls_deltas, proposals, valid, h, w,
+            self.num_detections, self.det_nms_thresh, self.score_thresh,
         )
-        safe2 = jnp.maximum(keep2, 0)
-        final_boxes = jnp.where(valid2[:, None], det_boxes[safe2], 0.0)
-        final_cls = jnp.where(valid2, best[safe2], 0)
-        final_scores = jnp.where(valid2, best_prob[safe2], 0.0)
 
         # Mask head: on proposals when training (targets are per-proposal),
         # on final detections at inference.
         mask_boxes = proposals if train else final_boxes
         mask_feats = pyramid_roi_align(feats, mask_boxes, (14, 14))
-        mask_logits = MaskHead(self.num_classes)(mask_feats)  # (·, 28, 28, K)
+        mask_logits = MaskHead(K)(mask_feats)  # (·, 28, 28, K)
         if train:
             masks = None
         else:
@@ -181,7 +248,7 @@ class MaskRCNN(nn.Module):
                 )[..., 0]
             )
 
-        return {
+        out = {
             "boxes": final_boxes,
             "classes": final_cls,
             "scores": final_scores,
@@ -198,6 +265,30 @@ class MaskRCNN(nn.Module):
             "cls_deltas": cls_deltas,
             "mask_logits": mask_logits,
         }
+
+        if self.num_keypoints > 0:
+            kp_logits = KeypointHead(self.num_keypoints, dim=self.fpn_dim)(
+                mask_feats
+            )  # (·, 56, 56, Kp) on the same ROI set as the mask head
+            out["kp_logits"] = kp_logits
+            if not train:
+                # decode: argmax heatmap bin → image coordinates
+                R, m, _, Kp = kp_logits.shape
+                flat = kp_logits.reshape(R, m * m, Kp)
+                bins = jnp.argmax(flat, axis=1)  # (R, Kp)
+                bx = (bins % m).astype(jnp.float32) + 0.5
+                by = (bins // m).astype(jnp.float32) + 0.5
+                x1, y1 = mask_boxes[:, 0], mask_boxes[:, 1]
+                bw = jnp.maximum(mask_boxes[:, 2] - x1, 1.0)
+                bh = jnp.maximum(mask_boxes[:, 3] - y1, 1.0)
+                out["keypoints"] = jnp.stack(
+                    [
+                        x1[:, None] + bx / m * bw[:, None],
+                        y1[:, None] + by / m * bh[:, None],
+                    ],
+                    axis=-1,
+                )  # (D, Kp, 2)
+        return out
 
 
 class KeypointHead(nn.Module):

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["compute_ap", "compute_map_range", "match_predictions"]
+__all__ = [
+    "compute_ap",
+    "compute_map_range",
+    "match_predictions",
+    "mask_mean_iou",
+]
 
 
 def _iou_matrix_np(a, b):
@@ -68,6 +73,43 @@ def compute_ap(pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes,
     idx = np.where(recalls[1:] != recalls[:-1])[0] + 1
     ap = float(np.sum((recalls[idx] - recalls[idx - 1]) * precisions[idx]))
     return ap, precisions, recalls
+
+
+def _crop_mask_np(mask, box, size):
+    """Nearest-neighbor crop of a full-image {0,1} mask to `box`, resized
+    to (size, size) — the host-side counterpart of
+    `losses.roi_mask_targets` for evaluation."""
+    h, w = mask.shape
+    x1, y1, x2, y2 = box
+    ys = y1 + (np.arange(size) + 0.5) / size * max(y2 - y1, 1.0)
+    xs = x1 + (np.arange(size) + 0.5) / size * max(x2 - x1, 1.0)
+    yi = np.clip(ys.astype(int), 0, h - 1)
+    xi = np.clip(xs.astype(int), 0, w - 1)
+    return mask[yi[:, None], xi[None, :]] > 0.5
+
+
+def mask_mean_iou(pred_masks, pred_boxes, pred_classes, pred_scores,
+                  gt_masks, gt_boxes, gt_classes, iou_threshold=0.5):
+    """Mean ROI-frame mask IoU over box-matched detections (the mask half
+    of `mrcnn/utils.py` compute_ap's `pred_masks`/`gt_masks` overlap path,
+    evaluated in the mask head's own 28×28 frame). Unmatched detections
+    and unmatched GT contribute nothing (box quality is mAP's job)."""
+    if len(gt_boxes) == 0 or len(pred_boxes) == 0:
+        return 0.0
+    pred_match, _, order = match_predictions(
+        pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes,
+        iou_threshold,
+    )
+    ious = []
+    for rank, j in enumerate(pred_match):
+        if j < 0:
+            continue
+        i = order[rank]
+        pm = np.asarray(pred_masks[i]) > 0.5
+        gm = _crop_mask_np(np.asarray(gt_masks[j]), pred_boxes[i], pm.shape[0])
+        union = (pm | gm).sum()
+        ious.append((pm & gm).sum() / max(union, 1))
+    return float(np.mean(ious)) if ious else 0.0
 
 
 def compute_map_range(pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes,

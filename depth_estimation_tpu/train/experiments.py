@@ -102,9 +102,23 @@ def train_tsukuba_crf(
     niters: int = 5,
     d_feat: int = 16,
     seed: int = 0,
+    guidance: str = "random",
+    guidance_params=None,
 ):
     """Adam training of the CRF hyperparameters on one stereo pair
     (masked MSE on gt>0 pixels, `trainableDenseCRF.ipynb` cell 14).
+
+    `guidance` picks the semantic features feeding the trainable guide
+    (the reference projects pretrained VGG16 features into the guide,
+    `trainableDenseCRF.ipynb` cell 8 + `crf/features.py:12-22`):
+      - 'random': seeded random-projection features (training-free).
+      - 'cnn': a `FeatureCNN` trained JOINTLY with the CRF — gradients
+        flow from the masked MSE through the lattice VJP into the conv
+        weights (goes beyond the reference, which froze its extractor).
+      - 'vgg': `VGG16Features` with `guidance_params` (e.g. imported via
+        `utils.weights.torch_vgg16_params`), frozen — the reference's
+        protocol exactly. Falls back to an init-seeded VGG when no params
+        are given (random multi-scale projections).
 
     Returns (params, history) with history['loss'] per step and
     before/after masked MSE of the decoded disparity.
@@ -116,12 +130,42 @@ def train_tsukuba_crf(
 
     E0 = cost_volume(left_j, jnp.asarray(right, jnp.float32), num_disp, 9)
     logits = -E0
-    feats = random_features(left_j, out_dim=d_feat)
+
+    feats = None
+    feat_fn = None
+    if guidance == "random":
+        feats = random_features(left_j, out_dim=d_feat)
+    elif guidance == "cnn":
+        from ..models.features import FeatureCNN
+
+        cnn = FeatureCNN(out_dim=d_feat)
+        cnn_params = cnn.init(jax.random.PRNGKey(seed + 1), left_j)
+        feat_fn = lambda cp: cnn.apply(cp, left_j)
+    elif guidance == "vgg":
+        from ..models.features import VGG16Features
+
+        vgg = VGG16Features()
+        if guidance_params is None:
+            guidance_params = vgg.init(jax.random.PRNGKey(seed + 1), left_j)
+        full = vgg.apply(guidance_params, left_j)
+        # project the 960-d tap stack to d_feat with a fixed seeded
+        # projection; the trainable proj_w inside the CRF re-mixes it
+        # (cell 8's Linear(64→5) plays that role in the reference).
+        key_p = jax.random.PRNGKey(seed + 2)
+        proj = jax.random.normal(key_p, (full.shape[-1], d_feat), jnp.float32)
+        feats = full @ (proj / jnp.sqrt(jnp.asarray(full.shape[-1], jnp.float32)))
+        feats = (feats - feats.mean((0, 1))) / (feats.std((0, 1)) + 1e-6)
+    else:
+        raise ValueError(f"unknown guidance {guidance!r}")
 
     params = trainable_crf_init(key, d_feat=d_feat)
+    if feat_fn is not None:
+        params = {**params, "cnn": cnn_params}
 
     def loss_fn(p):
-        refined = trainable_crf_forward(p, logits, left_j, feats, niters)
+        f = feat_fn(p["cnn"]) if feat_fn is not None else feats
+        crf_p = {k: v for k, v in p.items() if k != "cnn"}
+        refined = trainable_crf_forward(crf_p, logits, left_j, f, niters)
         disp = expected_disparity(refined)
         return masked_mse(disp, gt_j, mask)
 
@@ -151,24 +195,42 @@ def train_detection_items(
     lr: float = 1e-3,
     seed: int = 0,
     model_kwargs: dict | None = None,
+    with_masks: bool | None = None,
+    with_keypoints: bool = False,
+    loss_breakdown: bool = False,
+    eval_items=None,
 ):
     """Core single-device detection train loop over fixed-shape items.
 
     Each item carries `image` (h, w, 3) plus padded GT
-    (`boxes_padded`/`classes_padded`/`gt_valid`) and unpadded
-    `boxes`/`classes` for the mAP@0.5 eval at the end. One XLA program
-    serves every item (static shapes). Returns (params, history).
+    (`boxes_padded`/`classes_padded`/`gt_valid`, and `masks_padded` /
+    `keypoints_padded`+`kp_visible_padded` for the mask/keypoint branches)
+    and unpadded `boxes`/`classes` for the mAP@0.5 eval at the end. One
+    XLA program serves every item (static shapes).
+
+    The loss is the reference's full multi-task sum — RPN objectness +
+    RPN box + ROI class + ROI box + mask BCE (+ keypoint CE when
+    `with_keypoints`), `Generalized_RCNN._forward` semantics
+    (`mask-rcnn.pytorch/lib/modeling/model_builder.py:148-250`,
+    `Mask_RCNN/mrcnn/model.py:1162-1192` mask term). `with_masks` defaults
+    to whether items carry `masks_padded`. Returns (params, history).
     """
     import optax
 
-    from ..models.detection.losses import roi_losses, rpn_losses
-    from ..models.detection.rcnn import MaskRCNN
+    from ..models.detection.losses import (
+        keypoint_targets, mask_loss, roi_losses, roi_mask_targets, rpn_losses,
+    )
+    from ..models.detection.rcnn import MaskRCNN, keypoint_loss
     from ..train.eval_detection import compute_ap
 
+    if with_masks is None:
+        with_masks = "masks_padded" in items[0]
     kwargs = dict(
         num_classes=num_classes, blocks=(1, 1, 1, 1), fpn_dim=32,
         num_proposals=32, num_detections=8, score_thresh=-1.0,
     )
+    if with_keypoints:
+        kwargs["num_keypoints"] = items[0]["keypoints_padded"].shape[1]
     kwargs.update(model_kwargs or {})
     model = MaskRCNN(**kwargs)
     key = jax.random.PRNGKey(seed)
@@ -177,50 +239,93 @@ def train_detection_items(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    def loss_fn(params, image, boxes, cls, valid):
-        out = model.apply(params, image, train=True)
-        rpn_cls, rpn_reg = rpn_losses(
-            out["rpn_logits"], out["rpn_deltas"], out["anchors"], boxes, valid
-        )
-        roi_cls, roi_reg, *_ = roi_losses(
-            out["cls_scores"], out["cls_deltas"], out["proposals"],
-            out["proposal_valid"], boxes, cls, valid,
-        )
-        return rpn_cls + rpn_reg + roi_cls + roi_reg
-
-    @jax.jit
-    def step(params, opt_state, image, boxes, cls, valid):
-        loss, grads = jax.value_and_grad(loss_fn)(params, image, boxes, cls, valid)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    history = {"loss": [], "map50": None}
-    for i in range(num_steps):
-        item = items[i % len(items)]
-        params, opt_state, loss = step(
-            params, opt_state,
+    def item_arrays(item):
+        arrs = [
             jnp.asarray(item["image"], jnp.float32),
             jnp.asarray(item["boxes_padded"]),
             jnp.asarray(item["classes_padded"]),
             jnp.asarray(item["gt_valid"]),
-        )
-        history["loss"].append(float(loss))
+            jnp.asarray(item["masks_padded"], jnp.float32) if with_masks else None,
+        ]
+        if with_keypoints:
+            arrs += [
+                jnp.asarray(item["keypoints_padded"], jnp.float32),
+                jnp.asarray(item["kp_visible_padded"]),
+            ]
+        else:
+            arrs += [None, None]
+        return arrs
 
-    # mAP@0.5 over the training set (shapes protocol evaluates in-domain)
+    def loss_fn(params, image, boxes, cls, valid, masks, kps, kp_vis):
+        out = model.apply(
+            params, image, train=True, gt_boxes=boxes, gt_valid=valid
+        )
+        rpn_cls, rpn_reg = rpn_losses(
+            out["rpn_logits"], out["rpn_deltas"], out["anchors"], boxes, valid
+        )
+        roi_cls, roi_reg, tgt_cls, best_gt, fg = roi_losses(
+            out["cls_scores"], out["cls_deltas"], out["proposals"],
+            out["proposal_valid"], boxes, cls, valid,
+        )
+        parts = {"rpn_cls": rpn_cls, "rpn_reg": rpn_reg,
+                 "roi_cls": roi_cls, "roi_reg": roi_reg}
+        if with_masks:
+            m = out["mask_logits"].shape[1]
+            tgt_masks = roi_mask_targets(
+                masks, best_gt, out["proposals"], size=(m, m)
+            )
+            parts["mask"] = mask_loss(out["mask_logits"], tgt_cls, tgt_masks, fg)
+        if with_keypoints:
+            hm = out["kp_logits"].shape[1]
+            tgt_xy, tgt_vis = keypoint_targets(
+                kps, kp_vis, best_gt, out["proposals"], heatmap_size=hm
+            )
+            parts["keypoint"] = keypoint_loss(out["kp_logits"], tgt_xy, tgt_vis, fg)
+        return sum(parts.values()), parts
+
+    @jax.jit
+    def step(params, opt_state, *arrays):
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, *arrays
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, parts
+
+    history = {"loss": [], "map50": None}
+    if loss_breakdown:
+        history["parts"] = []
+    for i in range(num_steps):
+        item = items[i % len(items)]
+        params, opt_state, loss, parts = step(params, opt_state, *item_arrays(item))
+        history["loss"].append(float(loss))
+        if loss_breakdown:
+            history["parts"].append({k: float(v) for k, v in parts.items()})
+
+    # mAP@0.5 (+ ROI-frame mask IoU when the mask branch trains) — over
+    # `eval_items` when given (held-out protocol), else the training set
+    # (the reference's in-domain shapes protocol).
+    from ..train.eval_detection import mask_mean_iou
+
     infer = jax.jit(lambda p, im: model.apply(p, im, train=False))
-    aps = []
-    for item in items:
+    aps, mious = [], []
+    for item in eval_items if eval_items is not None else items:
         out = infer(params, jnp.asarray(item["image"], jnp.float32))
         valid = np.asarray(out["valid"])
-        ap, _, _ = compute_ap(
-            np.asarray(out["boxes"])[valid],
-            np.asarray(out["classes"])[valid],
-            np.asarray(out["scores"])[valid],
-            item["boxes"],
-            item["classes"],
-        )
+        pb = np.asarray(out["boxes"])[valid]
+        pc = np.asarray(out["classes"])[valid]
+        ps = np.asarray(out["scores"])[valid]
+        ap, _, _ = compute_ap(pb, pc, ps, item["boxes"], item["classes"])
         aps.append(ap)
+        if with_masks:
+            mious.append(
+                mask_mean_iou(
+                    np.asarray(out["masks"])[valid], pb, pc, ps,
+                    item["masks"], item["boxes"], item["classes"],
+                )
+            )
     history["map50"] = float(np.mean(aps))
+    if with_masks:
+        history["mask_iou"] = float(np.mean(mious))
     return params, history
 
 
@@ -229,23 +334,35 @@ def train_detection_shapes(
     num_items: int = 8,
     h: int = 64,
     lr: float = 1e-3,
-    eval_every: int | None = None,
+    holdout: int = 0,
     seed: int = 0,
     model_kwargs: dict | None = None,
+    **kwargs,
 ):
     """Train the detection family on the procedural shapes dataset and
-    evaluate mAP@0.5 (the reference's shapes-train protocol,
+    evaluate mAP@0.5 + mask IoU (the reference's shapes-train protocol,
     `Mask_RCNN/samples/shapes/shapes.py` train/eval loop at library scale).
 
-    Returns (params, history) with history['loss'] and history['map50'].
+    `holdout > 0` evaluates on that many NEVER-TRAINED items drawn from a
+    disjoint seed (the val_dataset split of `shapes.py`'s train cell)
+    instead of the training set. Extra kwargs (with_masks/with_keypoints/
+    loss_breakdown) pass through to `train_detection_items`.
+
+    Returns (params, history) with history['loss'], 'map50' (+'mask_iou').
     """
     from ..data.shapes import NUM_CLASSES, ShapesDetection
 
     ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
     items = [ds.padded(i) for i in range(num_items)]
+    eval_items = None
+    if holdout:
+        val = ShapesDetection(
+            num_items=holdout, h=h, w=h, max_shapes=2, seed=seed + 1000
+        )
+        eval_items = [val.padded(i) for i in range(holdout)]
     return train_detection_items(
         items, NUM_CLASSES, num_steps=num_steps, lr=lr, seed=seed,
-        model_kwargs=model_kwargs,
+        model_kwargs=model_kwargs, eval_items=eval_items, **kwargs,
     )
 
 
@@ -286,6 +403,9 @@ def _stack_detection_batch(items):
         jnp.asarray(np.stack([it["boxes_padded"] for it in items])),
         jnp.asarray(np.stack([it["classes_padded"] for it in items])),
         jnp.asarray(np.stack([it["gt_valid"] for it in items])),
+        jnp.asarray(
+            np.stack([it["masks_padded"] for it in items]), jnp.float32
+        ),
     )
 
 
@@ -318,7 +438,9 @@ def train_detection_shapes_batched(
     from jax.sharding import NamedSharding, PartitionSpec
 
     from ..data.shapes import NUM_CLASSES, ShapesDetection
-    from ..models.detection.losses import roi_losses, rpn_losses
+    from ..models.detection.losses import (
+        mask_loss, roi_losses, roi_mask_targets, rpn_losses,
+    )
     from ..models.detection.rcnn import MaskRCNN
 
     ds = ShapesDetection(num_items=num_items, h=h, w=h, max_shapes=2, seed=seed)
@@ -336,25 +458,32 @@ def train_detection_shapes_batched(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    def loss_one(params, image, boxes, cls, valid):
-        out = model.apply(params, image, train=True)
+    def loss_one(params, image, boxes, cls, valid, masks):
+        out = model.apply(
+            params, image, train=True, gt_boxes=boxes, gt_valid=valid
+        )
         rpn_cls, rpn_reg = rpn_losses(
             out["rpn_logits"], out["rpn_deltas"], out["anchors"], boxes, valid
         )
-        roi_cls, roi_reg, *_ = roi_losses(
+        roi_cls, roi_reg, tgt_cls, best_gt, fg = roi_losses(
             out["cls_scores"], out["cls_deltas"], out["proposals"],
             out["proposal_valid"], boxes, cls, valid,
         )
-        return rpn_cls + rpn_reg + roi_cls + roi_reg
+        m = out["mask_logits"].shape[1]
+        tgt_masks = roi_mask_targets(masks, best_gt, out["proposals"], size=(m, m))
+        ml = mask_loss(out["mask_logits"], tgt_cls, tgt_masks, fg)
+        return rpn_cls + rpn_reg + roi_cls + roi_reg + ml
 
-    def loss_fn(params, images, boxes, cls, valid):
-        return jax.vmap(loss_one, in_axes=(None, 0, 0, 0, 0))(
-            params, images, boxes, cls, valid
+    def loss_fn(params, images, boxes, cls, valid, masks):
+        return jax.vmap(loss_one, in_axes=(None, 0, 0, 0, 0, 0))(
+            params, images, boxes, cls, valid, masks
         ).mean()
 
     @jax.jit
-    def step(params, opt_state, images, boxes, cls, valid):
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, boxes, cls, valid)
+    def step(params, opt_state, images, boxes, cls, valid, masks):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, images, boxes, cls, valid, masks
+        )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

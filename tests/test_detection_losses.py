@@ -78,3 +78,44 @@ def test_roi_and_mask_losses_grad_flow():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_roi_mask_targets_crops_matched_instance():
+    """A proposal exactly on a GT box must get that instance's mask
+    rendered in ROI frame (`mrcnn/model.py:623-686` crop semantics)."""
+    from depth_estimation_tpu.models.detection.losses import roi_mask_targets
+
+    h = w = 32
+    masks = np.zeros((2, h, w), np.float32)
+    masks[0, 4:12, 4:12] = 1.0  # instance 0: square at (4..12)
+    masks[1, 20:28, 16:30] = 1.0
+    proposals = jnp.asarray([[4, 4, 12, 12], [16, 20, 30, 28]], jnp.float32)
+    best_gt = jnp.asarray([0, 1], jnp.int32)
+    tgt = jax.jit(
+        lambda m, b, p: roi_mask_targets(m, b, p, size=(14, 14))
+    )(jnp.asarray(masks), best_gt, proposals)
+    assert tgt.shape == (2, 14, 14)
+    # proposal 0 covers exactly its instance: target nearly all ones
+    assert float(tgt[0].mean()) > 0.8
+    assert float(tgt[1].mean()) > 0.8
+    # swap the match: the crop region of proposal 0 contains none of
+    # instance 1 → target all zeros
+    tgt_sw = roi_mask_targets(
+        jnp.asarray(masks), jnp.asarray([1, 0], jnp.int32), proposals,
+        size=(14, 14),
+    )
+    assert float(tgt_sw[0].sum()) == 0.0
+
+
+def test_keypoint_targets_bin_mapping():
+    from depth_estimation_tpu.models.detection.losses import keypoint_targets
+
+    kps = jnp.asarray([[[10.0, 10.0], [19.9, 19.9], [50.0, 50.0]]])  # (1,3,2)
+    vis = jnp.ones((1, 3), bool)
+    proposals = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    best_gt = jnp.asarray([0], jnp.int32)
+    xy, v = keypoint_targets(kps, vis, best_gt, proposals, heatmap_size=10)
+    xy, v = np.asarray(xy), np.asarray(v)
+    assert (xy[0, 0] == [0, 0]).all()  # top-left corner → bin (0,0)
+    assert (xy[0, 1] == [9, 9]).all()  # just inside bottom-right → last bin
+    assert v[0, 0] and v[0, 1] and not v[0, 2]  # outside ROI → invisible

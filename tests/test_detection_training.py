@@ -105,3 +105,30 @@ def test_batched_matches_unsharded_step():
         num_steps=2, batch_size=4, num_items=4, h=64, seed=7, mesh=None,
     )
     np.testing.assert_allclose(h_mesh["loss"], h_plain["loss"], rtol=1e-4)
+
+
+def test_mask_and_keypoint_branches_train():
+    """The full multi-task loss (RPN + ROI + mask + keypoint) trains:
+    GT-append guarantees foreground ROIs from step 0, so the mask BCE and
+    keypoint CE are live (nonzero) and decrease over a few steps on a
+    fixed item (VERDICT r2 #3/#8: these branches previously trained on
+    nothing)."""
+    from depth_estimation_tpu.train.experiments import train_detection_shapes
+
+    _, hist = train_detection_shapes(
+        num_steps=10, num_items=2, h=64, lr=1e-3, holdout=1,
+        with_keypoints=True, loss_breakdown=True,
+    )
+    parts = hist["parts"]
+    m0 = [p["mask"] for p in parts]
+    k0 = [p["keypoint"] for p in parts]
+    assert all(np.isfinite(m0)) and all(np.isfinite(k0))
+    # live from step 0 (foreground exists thanks to GT-append)
+    assert m0[0] > 0.0, m0
+    assert k0[0] > 0.0, k0
+    # trains: later mask/keypoint losses drop below the start
+    assert min(m0[1:]) < m0[0], m0
+    assert min(k0[1:]) < k0[0], k0
+    # held-out eval ran and produced bounded metrics
+    assert 0.0 <= hist["map50"] <= 1.0
+    assert 0.0 <= hist["mask_iou"] <= 1.0

@@ -107,3 +107,74 @@ def test_keypoint_head_and_loss():
     # masking: invisible keypoints contribute nothing
     l_masked = float(keypoint_loss(logits, xy_good, jnp.zeros((3, 5), bool), fg))
     assert l_masked == 0.0
+
+
+def test_perclass_detections_two_classes_same_location():
+    """Two overlapping objects of different classes on the same proposal
+    must BOTH be emitted (`mrcnn/model.py:785-832` per-class semantics —
+    the argmax-class simplification could only emit one)."""
+    from depth_estimation_tpu.models.detection.rcnn import perclass_detections
+
+    P, K = 4, 4
+    probs = np.full((P, K), 1e-4, np.float32)
+    # proposal 0: class 1 strong; proposal 1 (same box): class 2 strong
+    probs[0, 1] = 0.9
+    probs[1, 2] = 0.8
+    probs[2, 0] = 0.99  # background-dominant proposal: no detection
+    probs = jnp.asarray(probs)
+    deltas = jnp.zeros((P, K, 4), jnp.float32)
+    proposals = jnp.asarray(
+        [[10, 10, 30, 30], [11, 11, 31, 31], [40, 40, 50, 50], [0, 0, 5, 5]],
+        jnp.float32,
+    )
+    valid = jnp.asarray([True, True, True, False])
+    boxes, cls, scores, ok = jax.jit(
+        lambda p, d, pr, v: perclass_detections(p, d, pr, v, 64, 64, 8)
+    )(probs, deltas, proposals, valid)
+    got = sorted(
+        (int(c), round(float(s), 3))
+        for c, s, o in zip(np.asarray(cls), np.asarray(scores), np.asarray(ok))
+        if o
+    )
+    assert (1, 0.9) in got and (2, 0.8) in got, got
+    # the two survivors overlap heavily — class-aware NMS kept both
+    kept = [b for b, o in zip(np.asarray(boxes), np.asarray(ok)) if o]
+    assert len(got) == 2 and len(kept) == 2
+
+
+def test_maskrcnn_keypoint_branch_and_gt_append():
+    """num_keypoints>0 wires the keypoint branch through the model
+    (`model_builder.py:110-124` capability): heatmap logits on the ROI set
+    and decoded keypoints inside detection boxes at inference. GT-append
+    places the GT boxes in the training proposal set."""
+    model = MaskRCNN(
+        num_classes=4, blocks=(1, 1, 1, 1), fpn_dim=32,
+        num_proposals=16, num_detections=4, score_thresh=-1.0,
+        num_keypoints=5,
+    )
+    img = jnp.asarray(np.random.RandomState(0).rand(64, 64, 3), jnp.float32)
+    gt_boxes = jnp.asarray([[8, 8, 24, 24], [30, 30, 50, 50]], jnp.float32)
+    gt_valid = jnp.asarray([True, True])
+    params = model.init(
+        jax.random.PRNGKey(0), img, train=True, gt_boxes=gt_boxes,
+        gt_valid=gt_valid,
+    )
+    out_t = jax.jit(
+        lambda p, im: model.apply(p, im, train=True, gt_boxes=gt_boxes,
+                                  gt_valid=gt_valid)
+    )(params, img)
+    assert out_t["kp_logits"].shape == (16, 56, 56, 5)
+    np.testing.assert_allclose(
+        np.asarray(out_t["proposals"])[-2:], np.asarray(gt_boxes)
+    )
+    assert np.asarray(out_t["proposal_valid"])[-2:].all()
+
+    out_i = jax.jit(lambda p, im: model.apply(p, im, train=False))(params, img)
+    assert out_i["keypoints"].shape == (4, 5, 2)
+    kp = np.asarray(out_i["keypoints"])
+    b = np.asarray(out_i["boxes"])
+    ok = np.asarray(out_i["valid"])
+    for i in range(len(ok)):
+        if ok[i] and (b[i, 2] - b[i, 0]) > 1 and (b[i, 3] - b[i, 1]) > 1:
+            assert (kp[i, :, 0] >= b[i, 0] - 1e-3).all()
+            assert (kp[i, :, 0] <= b[i, 2] + 1e-3).all()
