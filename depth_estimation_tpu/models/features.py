@@ -22,7 +22,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["FeatureCNN", "extract_features", "random_features"]
+__all__ = [
+    "FeatureCNN",
+    "VGG16Features",
+    "extract_features",
+    "vgg16_features",
+    "random_features",
+]
 
 
 class FeatureCNN(nn.Module):
@@ -55,6 +61,48 @@ class FeatureCNN(nn.Module):
 def extract_features(params, img: jax.Array, out_dim: int = 64) -> jax.Array:
     """Apply a FeatureCNN params pytree to an (h, w, 3) image."""
     return FeatureCNN(out_dim=out_dim).apply(params, img)
+
+
+# torchvision VGG16 `features` conv indices for the slice boundaries the
+# reference taps (`crf/features.py:12-22`: relu1_2=3, relu2_2=8, relu3_3=15,
+# relu4_3=22 in module order; conv layers only, with maxpools between).
+_VGG16_STAGES = ((64, 64), (128, 128), (256, 256, 256), (512, 512, 512))
+VGG16_MEAN = (0.485, 0.456, 0.406)
+VGG16_STD = (0.229, 0.224, 0.225)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 guidance features — the reference's `Vgg16features`
+    (`crf/features.py:12-59`): activations at relu1_2 / relu2_2 / relu3_3 /
+    relu4_3, each resized back to input resolution and concatenated to an
+    (h, w, 960) guidance tensor (`get_all_features` semantics; zoom ≙
+    scipy.ndimage.zoom order-1).
+
+    Weights: `utils.weights.torch_vgg16_params` maps a torchvision
+    `vgg16().state_dict()` onto this module; untrained init works too
+    (random multi-scale projections are still usable guidance).
+    Input is normalized with the ImageNet mean/std the reference's
+    `preprocess` applies (`crf/features.py:24-33`).
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (h, w, 3) → (h, w, 960)
+        h, w = x.shape[:2]
+        y = (x - jnp.asarray(VGG16_MEAN, x.dtype)) / jnp.asarray(VGG16_STD, x.dtype)
+        y = y[None]
+        taps = []
+        for s, widths in enumerate(_VGG16_STAGES):
+            for c, width in enumerate(widths):
+                y = nn.Conv(width, (3, 3), padding="SAME", name=f"conv{s}_{c}")(y)
+                y = nn.relu(y)
+            taps.append(jax.image.resize(y, (1, h, w, y.shape[-1]), "bilinear"))
+            y = nn.max_pool(y, (2, 2), strides=(2, 2))
+        return jnp.concatenate(taps, axis=-1)[0]
+
+
+def vgg16_features(params, img: jax.Array) -> jax.Array:
+    """Apply a VGG16Features params pytree to an (h, w, 3) image."""
+    return VGG16Features().apply(params, img)
 
 
 def random_features(

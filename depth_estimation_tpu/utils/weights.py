@@ -38,6 +38,7 @@ __all__ = [
     "keras_resnet_params",
     "load_torch_state_dict",
     "torch_resnet_params",
+    "torch_vgg16_params",
 ]
 
 
@@ -255,3 +256,26 @@ def torch_resnet_params(sd: Mapping[str, np.ndarray],
                 affs.append(affine_of(f"{p}.downsample.1"))
             out_blocks.append(_bottleneck(convs, affs))
     return _assemble(stem_kernel, stem_aff, out_blocks)
+
+
+# torchvision `vgg16().features` module indices of the conv layers feeding
+# the reference's taps (`crf/features.py:12-22`); maxpools sit between.
+_VGG16_TORCH_CONV_IDX = ((0, 2), (5, 7), (10, 12, 14), (17, 19, 21))
+
+
+def torch_vgg16_params(sd: Mapping[str, np.ndarray]) -> dict:
+    """Map a torchvision ``vgg16().state_dict()`` onto
+    `models.features.VGG16Features` (convs through relu4_3 — the deepest
+    tap the reference uses, `crf/features.py:12-22`; later layers are
+    dropped). Conv kernels OIHW → HWIO; biases pass through.
+
+    Returns a ``{'params': ...}`` pytree for ``VGG16Features().apply``.
+    """
+    params = {}
+    for s, idxs in enumerate(_VGG16_TORCH_CONV_IDX):
+        for c, i in enumerate(idxs):
+            params[f"conv{s}_{c}"] = {
+                "kernel": _oihw_to_hwio(sd[f"features.{i}.weight"]),
+                "bias": np.asarray(sd[f"features.{i}.bias"]),
+            }
+    return {"params": params}

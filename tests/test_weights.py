@@ -225,3 +225,44 @@ def test_gn_backbone_unchanged_shapes():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     feats = model.apply({"params": params}, x)
     assert [f.shape for f in feats] == [(1, 8, 10, 128), (1, 4, 5, 256)]
+
+
+def test_vgg16_import_from_torchvision_names():
+    """`torch_vgg16_params` maps torchvision `vgg16().state_dict()` names
+    onto VGG16Features; the applied module reproduces a manual conv/relu/
+    pool/resize reference computation of the tap stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.models.features import (
+        VGG16_MEAN, VGG16_STD, VGG16Features,
+    )
+    from depth_estimation_tpu.utils.weights import torch_vgg16_params
+
+    rng = np.random.RandomState(0)
+    widths = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+              (256, 256), (256, 256), (256, 512), (512, 512), (512, 512)]
+    idxs = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    sd = {}
+    for i, (cin, cout) in zip(idxs, widths):
+        sd[f"features.{i}.weight"] = rng.randn(cout, cin, 3, 3).astype(np.float32) * 0.05
+        sd[f"features.{i}.bias"] = rng.randn(cout).astype(np.float32) * 0.01
+    params = torch_vgg16_params(sd)
+
+    img = jnp.asarray(rng.rand(16, 16, 3), jnp.float32)
+    out = jax.jit(VGG16Features().apply)(params, img)
+    assert out.shape == (16, 16, 64 + 128 + 256 + 512)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # manual reference for the FIRST tap (relu1_2): two convs + relus
+    x = (np.asarray(img) - VGG16_MEAN) / VGG16_STD
+    y = jnp.asarray(x, jnp.float32)[None]
+    for i in (0, 2):
+        k = jnp.asarray(sd[f"features.{i}.weight"].transpose(2, 3, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            y, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + sd[f"features.{i}.bias"]
+        y = jnp.maximum(y, 0)
+    np.testing.assert_allclose(
+        np.asarray(out[..., :64]), np.asarray(y[0]), rtol=2e-5, atol=2e-5
+    )
