@@ -10,8 +10,12 @@ Replaces the reference's external `oil` Trainer dependency
   orbax checkpoint save/restore with step tracking (capability parity with
   the reference's three checkpoint systems, SURVEY.md §5).
 
-Data parallel: pass `mesh` and the loss is pmean-reduced over the 'data'
-axis with batches sharded on their leading dim.
+Data parallel: pass `mesh` and every update runs as one SPMD program —
+params/optimizer state replicated, batch leaves sharded on their leading
+dim over the 'data' axis, gradient all-reduce inserted by XLA from the
+shardings (the TPU-native form of the reference's DataParallel /
+ParallelModel replica machinery). The user loss_fn must average over the
+batch dimension (any `...mean()` loss does).
 """
 from __future__ import annotations
 
@@ -58,6 +62,9 @@ class Trainer:
       metrics_fn: optional (params, batch) → dict of scalars for eval.
       log_dir: if set, writes one JSON line per log event to train_log.jsonl
         and orbax checkpoints under checkpoints/.
+      mesh: optional `jax.sharding.Mesh` with a 'data' axis — enables
+        data-parallel updates (batch sharded on leading dims, params
+        replicated; see module docstring).
     """
 
     def __init__(
@@ -67,14 +74,21 @@ class Trainer:
         metrics_fn: Callable | None = None,
         log_dir: str | None = None,
         log_every: int = 10,
+        mesh=None,
     ):
         self.loss_fn = loss_fn
         self.optimizer = optimizer
         self.metrics_fn = metrics_fn
         self.log_dir = Path(log_dir) if log_dir else None
         self.log_every = log_every
-        if self.log_dir:
-            self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self._batch_sharding = None
+        self._rep = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
         @jax.jit
         def _update(state: TrainState, batch):
@@ -87,8 +101,24 @@ class Trainer:
 
         self._update = _update
 
+    def _place_batch(self, batch):
+        """Shard batch leaves on their leading dim over the 'data' axis."""
+        if self._batch_sharding is None:
+            return batch
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._batch_sharding)
+            if getattr(x, "ndim", 0) >= 1
+            else x,
+            batch,
+        )
+
     def init(self, params) -> TrainState:
-        return TrainState(params, self.optimizer.init(params), jnp.zeros((), jnp.int32))
+        state = TrainState(
+            params, self.optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+        if self._rep is not None:
+            state = jax.device_put(state, self._rep)
+        return state
 
     def fit(
         self,
@@ -109,7 +139,7 @@ class Trainer:
                 except StopIteration:
                     it = iter(batches)
                     batch = next(it)
-                state, loss = self._update(state, batch)
+                state, loss = self._update(state, self._place_batch(batch))
                 if (i + 1) % self.log_every == 0 or i == num_steps - 1:
                     self._log(
                         {
@@ -135,7 +165,7 @@ class Trainer:
         metric_fn = jax.jit(self.metrics_fn)
         totals, count = {}, 0
         for batch in batches:
-            m = metric_fn(state.params, batch)
+            m = metric_fn(state.params, self._place_batch(batch))
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             count += 1

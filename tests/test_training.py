@@ -92,3 +92,43 @@ def test_upsampler_training_improves_l1():
     params, hist = train_upsampler(items, num_steps=15, niters=1, r=3)
     assert np.isfinite(hist["loss"]).all()
     assert hist["l1_after"] < hist["l1_before"], hist
+
+
+def test_trainer_mesh_dp_matches_unsharded():
+    """Trainer(mesh=...) runs the update as one SPMD program with batches
+    sharded over 'data'; losses must match the unsharded trainer exactly
+    (the DataParallel-equivalence contract)."""
+    import optax
+
+    from depth_estimation_tpu.parallel.mesh import make_mesh
+    from depth_estimation_tpu.train.trainer import Trainer
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(16, 4), jnp.float32)
+    yv = jnp.asarray(rng.randn(16), jnp.float32)
+
+    def loss_fn(params, batch):
+        x, t = batch
+        return jnp.mean((x @ params["w"] - t) ** 2)
+
+    def run(mesh):
+        tr = Trainer(loss_fn, optax.sgd(0.1), mesh=mesh)
+        state = tr.init({"w": jnp.zeros((4,), jnp.float32)})
+        losses = []
+        for i in range(4):
+            state, loss = tr._update(state, tr._place_batch((X, yv)))
+            losses.append(float(loss))
+        return losses, state
+
+    l_mesh, s_mesh = run(make_mesh(data=8, tile=1))
+    l_plain, s_plain = run(None)
+    np.testing.assert_allclose(l_mesh, l_plain, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_mesh.params["w"]), np.asarray(s_plain.params["w"]), rtol=1e-5
+    )
+
+
+def test_distributed_init_single_process_noop():
+    from depth_estimation_tpu.parallel.mesh import distributed_init
+
+    assert distributed_init() is False

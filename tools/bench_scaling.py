@@ -1,0 +1,117 @@
+"""Scaling-efficiency benchmark: frames/s vs device count.
+
+North-star artifact (BASELINE.md: "≥75% frames/s scaling efficiency on a
+multi-host v5e slice"): run the batched lattice-CRF stereo pipeline data-
+parallel over 1..N devices and report frames/s plus efficiency relative to
+linear scaling from 1 device. The reference has no such harness — its eval
+sharding is per-GPU subprocesses (`lib/core/test_engine.py:168-214`); here
+the whole sweep is one jitted SPMD program per device count, batch sharded
+over the mesh 'data' axis.
+
+On this container real multi-chip hardware is unavailable: the sweep runs
+on the virtual CPU mesh (correctness + harness shape; compute shares 2
+host cores, so CPU efficiency numbers measure the HARNESS, not hardware),
+and the single real TPU chip anchors the 1-device frames/s. On a real
+slice/pod the same flags measure true scaling (multi-host via
+`parallel.mesh.distributed_init`).
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python tools/bench_scaling.py --device cpu --devices 1 2 4 8 \
+      [--h 72 --w 96 --labels 8] [--frames-per-device 2] [--out FILE]
+
+Emits one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None)
+    ap.add_argument("--devices", type=int, nargs="+", default=None,
+                    help="device counts to sweep (default: 1,2,..,all)")
+    ap.add_argument("--frames-per-device", type=int, default=2)
+    ap.add_argument("--h", type=int, default=72)
+    ap.add_argument("--w", type=int, default=96)
+    ap.add_argument("--labels", type=int, default=8)
+    ap.add_argument("--niters", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default=None, help="also write JSON to this file")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from depth_estimation_tpu.models.pipeline import CRFStereoConfig, crf_stereo_infer
+    from depth_estimation_tpu.parallel.mesh import distributed_init, make_mesh
+
+    distributed_init()  # no-op single-process; joins a pod when configured
+
+    n_avail = len(jax.devices())
+    counts = args.devices or [c for c in (1, 2, 4, 8, 16, 32) if c <= n_avail]
+    counts = [c for c in counts if c <= n_avail]
+
+    h, w, L = args.h, args.w, args.labels
+    cfg = CRFStereoConfig(num_disp=L, niters=args.niters, backend="lattice",
+                          max_vertices=1 << max(10, (2 * h * w - 1).bit_length()))
+    rng = np.random.RandomState(0)
+
+    def run_one(ndev: int) -> float:
+        mesh = make_mesh(data=ndev, tile=1)
+        B = args.frames_per_device * ndev
+        left = jnp.asarray(rng.rand(B, h, w, 3), jnp.float32)
+        right = jnp.asarray(rng.rand(B, h, w, 3), jnp.float32)
+        shard = NamedSharding(mesh, P("data"))
+        left = jax.device_put(left, shard)
+        right = jax.device_put(right, shard)
+
+        fn = jax.jit(
+            jax.vmap(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
+        )
+        out = fn(left, right)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn(left, right)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.reps
+        return B / dt
+
+    per = {}
+    for c in counts:
+        per[str(c)] = round(run_one(c), 3)
+
+    base = per[str(counts[0])] / counts[0]
+    eff = {
+        str(c): round(per[str(c)] / (base * c), 4) for c in counts
+    }
+    result = {
+        "metric": "scaling_frames_per_s",
+        "unit": f"frames/s ({h}x{w}px, L={L}, lattice CRF, "
+                f"{args.frames_per_device}/device)",
+        "device": str(jax.devices()[0]),
+        "frames_per_s": per,
+        "efficiency_vs_linear": eff,
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
