@@ -208,6 +208,9 @@ class PermutohedralPlan(NamedTuple):
     sorted_weight: jax.Array  # (N,) — barycentric weight of that entry
     sorted_seg: jax.Array  # (N,) int32 — its slot id (ascending)
     starts: jax.Array  # (C+1,) int32 — CSR boundaries into the sorted entries
+    band: jax.Array  # () int32 — max |neighbor − slot| over real neighbors
+    #                  (small by construction: slots are in (coord-sum, lex)
+    #                  order; gates the banded MXU blur kernel)
 
     @property
     def d(self) -> int:
@@ -340,6 +343,18 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     # entry id convention: entry = r·n + i (remainder-major) — lets the
     # (d+1, n) columns flatten with no transpose.
     flat_cols = [kc.reshape(N) for kc in key_cols]
+    # Band-friendly vertex ordering: prepend the stored-coordinate SUM as
+    # the most-significant sort column. Blur neighbors change the sum by
+    # exactly −1/+1 (axes j<d) or +d/−d (axis d) — see `delta_arr` below —
+    # so in (sum, lex) order every neighbor lands within a few sum-slabs
+    # of its vertex. `plan.band` records the realized max |neighbor−slot|;
+    # the banded MXU blur kernel (ops.pallas.lattice_blur) relies on it.
+    # Equality groups are unchanged (equal keys ⇒ equal sum), so dedup
+    # semantics are identical to the plain lexicographic order.
+    s_col = flat_cols[0]
+    for c in flat_cols[1:]:
+        s_col = s_col + c
+    flat_cols = [s_col] + flat_cols
 
     # --- 1) lexicographic dedup -----------------------------------------
     # bary rides the sort as payload → sorted_weight with no gather
@@ -371,35 +386,39 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     starts = starts_full[:C]
     valid_c = iota_c < num_valid
     # unique keys: entry id of each segment head (small 1-D gather), then
-    # ONE row gather from the (N, d) row-layout copy of the keys — big-
-    # table gathers must be row-major on TPU (a (C,) scalar gather from an
-    # HBM (N,) table runs element-at-a-time; rows amortize it over lanes).
-    flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, d)
+    # ONE row gather from the (N, d+1) row-layout copy of the (sum-
+    # prefixed) keys — big-table gathers must be row-major on TPU (a (C,)
+    # scalar gather from an HBM (N,) table runs element-at-a-time; rows
+    # amortize it over lanes).
+    dk = d + 1  # columns per key: [coord-sum, d stored coords]
+    flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, d+1)
     head_entry = order[jnp.minimum(starts, N - 1)]  # (C,)
     # Invalid slots get a sentinel key JUST above the occupied coordinate
     # range (not int32max: the packed 2-sort fast path needs small column
     # ranges, and sentinel±delta must not wrap). sentinel−(d+1) > max real
     # coord, so sentinel-derived neighbor queries can never equal a real
     # vertex key — unmatched queries resolve to the absent id C.
-    sent = jnp.stack([c.max() for c in flat_cols]) + jnp.int32(d + 2)  # (d,)
+    sent = jnp.stack([c.max() for c in flat_cols]) + jnp.int32(d + 2)  # (d+1,)
     unique_keys = jnp.where(valid_c[:, None], flat_rows[head_entry], sent[None, :])
     vids = jnp.arange(C, dtype=jnp.int32)
 
     # Blur neighbors along each of the d+1 lattice axes
     # (`permutohedral.h:504-509`): axis j < d: +1 everywhere except coord j
-    # gets −d (and the mirror); axis d: ±1 in all stored coords.
+    # gets −d (and the mirror); axis d: ±1 in all stored coords. Column 0
+    # carries the coordinate-sum delta (−1 for axes < d, +d for axis d).
     eye = np.eye(d, dtype=np.int32)
     deltas = [np.ones(d, np.int32) - (d + 1) * eye[j] for j in range(d)]
     deltas.append(np.ones(d, dtype=np.int32))
-    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d) static
+    deltas = [np.concatenate([[dl.sum()], dl]) for dl in deltas]
+    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d+1) static
 
     queries = jnp.concatenate(
         [
-            (unique_keys[None, :, :] + delta_arr[:, None, :]).reshape(-1, d),
-            (unique_keys[None, :, :] - delta_arr[:, None, :]).reshape(-1, d),
+            (unique_keys[None, :, :] + delta_arr[:, None, :]).reshape(-1, dk),
+            (unique_keys[None, :, :] - delta_arr[:, None, :]).reshape(-1, dk),
         ],
         axis=0,
-    )  # (Q, d), Q = 2·(d+1)·C
+    )  # (Q, d+1), Q = 2·(d+1)·C
 
     # Sort-merge join replaces the open-addressing hash table of the
     # reference (`permutohedral.h:29-169`) outright: on TPU the verified-
@@ -412,7 +431,7 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     # Keys are deduped so each run holds at most one table row: exact.
     Q = queries.shape[0]
     comb_cols = [
-        jnp.concatenate([unique_keys[:, k], queries[:, k]]) for k in range(d)
+        jnp.concatenate([unique_keys[:, k], queries[:, k]]) for k in range(dk)
     ]
     marker = jnp.concatenate([vids, jnp.full((Q,), -1, jnp.int32)])
     qid = jnp.concatenate(
@@ -434,6 +453,10 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     minus = found[(d + 1) * C :].reshape(d + 1, C)
     neighbors = jnp.stack([plus, minus], axis=-1)  # (d+1, C, 2)
 
+    real = neighbors != C
+    offs = jnp.abs(neighbors - vids[None, :, None])
+    band = jnp.max(jnp.where(real, offs, 0)).astype(jnp.int32)
+
     return PermutohedralPlan(
         slot=slot,
         bary=bary_t.T,
@@ -443,6 +466,7 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
         sorted_weight=sorted_weight,
         sorted_seg=seg_capped,
         starts=starts_full,
+        band=band,
     )
 
 
@@ -736,6 +760,7 @@ def _planned_bwd(res, g):
         sorted_weight=jnp.zeros_like(plan.sorted_weight),
         sorted_seg=np.zeros(plan.sorted_seg.shape, f0),
         starts=np.zeros(plan.starts.shape, f0),
+        band=np.zeros(plan.band.shape, f0),
     )
     return grad_src, grad_ref, plan_cot
 
