@@ -102,14 +102,11 @@ def main():
 
     # Tight static lattice capacity: measure occupancy once (host-side) and
     # give 3x headroom — natural images occupy ~0.04n vertices, so this
-    # shrinks the blur working set ~50x vs the safe default.
-    if cfg.backend == "lattice":
-        from depth_estimation_tpu.crf.guides import stack_guide
-        from depth_estimation_tpu.ops.permutohedral import suggest_capacity
-        from dataclasses import replace
+    # shrinks the blur working set ~50x vs the safe default (the library
+    # serving path does the same via StereoServer auto-calibration).
+    from depth_estimation_tpu.models.pipeline import calibrate_capacity
 
-        ref = stack_guide(left, cfg.sigma_color, cfg.sigma_pos).reshape(h * w, -1)
-        cfg = replace(cfg, max_vertices=suggest_capacity(ref, headroom=3.0))
+    cfg = calibrate_capacity(left, cfg, headroom=3.0)
 
     fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
     out = fn(left, right)
@@ -121,6 +118,48 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.reps
     iters_per_s = args.niters / dt
+
+    # Per-iteration cost + HBM roofline fraction: time the same pipeline at
+    # 1 iteration; the difference isolates (niters-1) mean-field updates
+    # from the shared plan-build/cost-volume/decode work.
+    from dataclasses import replace as _replace
+
+    from depth_estimation_tpu.utils.profiling import roofline
+
+    iter_ms = None
+    roofline_fraction = None
+    if args.niters > 1:
+        cfg1 = _replace(cfg, niters=1)
+        fn1 = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg1)["disparity"])
+        out1 = fn1(left, right)
+        jax.block_until_ready(out1)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out1 = fn1(left, right)
+        jax.block_until_ready(out1)
+        dt1 = (time.perf_counter() - t0) / args.reps
+        iter_s = max(dt - dt1, 1e-9) / (args.niters - 1)
+        iter_ms = iter_s * 1e3
+        # Essential per-iteration HBM traffic (logical bytes, f32): softmax
+        # + Mu matmul + splat gather/reduce + d+1 blur gather-axpy passes +
+        # slice gathers + energy update. Implementation padding/waste is
+        # deliberately NOT counted — the fraction measures how close the
+        # implementation gets to the algorithm's own traffic floor.
+        n = h * w
+        L = args.labels
+        d = 5
+        C = cfg.max_vertices or n * (d + 1)
+        N = n * (d + 1)
+        f = 4
+        traffic = (
+            2 * n * L * f          # softmax read+write
+            + 2 * n * L * f        # Mu matmul
+            + (N * L + N * 2 + C * L) * f      # splat: gather + entry meta + vertex write
+            + (d + 1) * 4 * C * L * f          # blur: 2 gathers + read + write per axis
+            + ((d + 1) * n * L + n * (d + 1) * 2 + n * L) * f  # slice
+            + 3 * n * L * f        # adjacency subtract + E0 add + write
+        )
+        roofline_fraction = roofline(iter_s, traffic)["hbm_fraction"]
 
     vs_baseline = None
     if args.dense_baseline is None:
@@ -147,6 +186,10 @@ def main():
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else 1.0,
                 "detail": {
                     "pipeline_ms": round(dt * 1e3, 3),
+                    "iter_ms": round(iter_ms, 3) if iter_ms else None,
+                    "roofline_fraction": (
+                        round(roofline_fraction, 4) if roofline_fraction else None
+                    ),
                     "device": str(jax.devices()[0]),
                     "niters": args.niters,
                 },

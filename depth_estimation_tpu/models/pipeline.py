@@ -26,7 +26,12 @@ from ..ops.costvolume import cost_volume, expected_disparity
 from ..ops.dense_gaussian import dense_gaussian_filter
 from ..ops.permutohedral import build_plan, apply_plan
 
-__all__ = ["CRFStereoConfig", "stereo_unary", "crf_stereo_infer"]
+__all__ = [
+    "CRFStereoConfig",
+    "stereo_unary",
+    "crf_stereo_infer",
+    "calibrate_capacity",
+]
 
 
 @dataclass(frozen=True)
@@ -60,6 +65,30 @@ def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax
     1 (raw)."""
     vol = cost_volume(left, right, cfg.num_disp, cfg.window_size)
     return cfg.unary_scale * vol
+
+
+def calibrate_capacity(
+    left, cfg: CRFStereoConfig, headroom: float = 3.0
+) -> CRFStereoConfig:
+    """Host-side capacity calibration: measure the lattice occupancy of
+    THIS image's guide once and return a config with a tight static
+    `max_vertices` (pow2 ≥ headroom·occupancy).
+
+    Natural images occupy ~0.04n vertices at the flagship σs while the
+    safe auto default is pow2 ≥ 2n — ~50× oversized, which inflates the
+    blur working set for every mean-field iteration. Serving and bench
+    paths call this once per stream/config; shapes stay static so the
+    jitted pipeline is compiled once per calibrated capacity.
+    """
+    from dataclasses import replace
+
+    from ..ops.permutohedral import suggest_capacity
+
+    if cfg.backend != "lattice":
+        return cfg
+    guide = stack_guide(jnp.asarray(left, jnp.float32), cfg.sigma_color, cfg.sigma_pos)
+    ref = guide.reshape(-1, guide.shape[-1])
+    return replace(cfg, max_vertices=suggest_capacity(ref, headroom=headroom))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -27,9 +27,21 @@ __all__ = ["StereoServer"]
 
 
 class StereoServer:
-    def __init__(self, cfg: CRFStereoConfig, mesh=None):
+    def __init__(self, cfg: CRFStereoConfig, mesh=None, auto_capacity: bool = True):
+        """`auto_capacity` (default on): when the lattice backend runs
+        with no explicit `max_vertices`, the first batch's leading frame
+        calibrates a tight measured-occupancy capacity
+        (`pipeline.calibrate_capacity`) instead of the ~50×-oversized
+        safe default — the published serving throughput depends on it."""
         self.cfg = cfg
         self.mesh = mesh
+        self._needs_calibration = (
+            auto_capacity and cfg.backend == "lattice" and cfg.max_vertices is None
+        )
+        self._make_fn()
+
+    def _make_fn(self):
+        cfg = self.cfg
 
         def one(left, right):
             return crf_stereo_infer(left, right, cfg)["disparity"]
@@ -42,7 +54,14 @@ class StereoServer:
         return jax.device_put(x, data_sharding(self.mesh, x.ndim))
 
     def __call__(self, left_batch, right_batch):
-        left = self._shard(jnp.asarray(left_batch, jnp.float32))
+        left = jnp.asarray(left_batch, jnp.float32)
+        if self._needs_calibration:
+            from ..models.pipeline import calibrate_capacity
+
+            self.cfg = calibrate_capacity(left[0], self.cfg)
+            self._make_fn()
+            self._needs_calibration = False
+        left = self._shard(left)
         right = self._shard(jnp.asarray(right_batch, jnp.float32))
         return self._fn(left, right)
 
