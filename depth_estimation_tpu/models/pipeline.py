@@ -50,6 +50,9 @@ class CRFStereoConfig:
     # lattice vertex capacity: None = auto (pow2 ≥ 2n — fast, ~3x headroom
     # over measured occupancy); pass n·(d+1) for the exact worst case.
     max_vertices: int | None = None
+    # piece-splat capacity: None disables the full-lane piece splat; set
+    # via `calibrate_capacity` (measured piece count + headroom).
+    max_pieces: int | None = None
     # quality dial: average k rotation-averaged lattices (k× plan+apply
     # cost, lower anisotropic approximation error). 1 = reference parity.
     num_lattices: int = 1
@@ -82,13 +85,18 @@ def calibrate_capacity(
     """
     from dataclasses import replace
 
-    from ..ops.permutohedral import suggest_capacity
+    from ..ops.permutohedral import suggest_capacity, suggest_pieces
 
     if cfg.backend != "lattice":
         return cfg
     guide = stack_guide(jnp.asarray(left, jnp.float32), cfg.sigma_color, cfg.sigma_pos)
     ref = guide.reshape(-1, guide.shape[-1])
-    return replace(cfg, max_vertices=suggest_capacity(ref, headroom=headroom))
+    cap = suggest_capacity(ref, headroom=headroom)
+    pack = max(1, 128 // max(cfg.num_disp, 1))
+    pieces = (
+        suggest_pieces(ref, cap, pack=pack, headroom=1.5) if pack > 1 else None
+    )
+    return replace(cfg, max_vertices=cap, max_pieces=pieces)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -117,9 +125,10 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
             cap = min(cap, ref.shape[0] * (ref.shape[1] + 1))
         from ..ops.permutohedral import rotation_matrices
 
+        pack = max(1, 128 // max(cfg.num_disp, 1))
         plans = [
             build_plan(ref if m == 0 else ref @ jnp.asarray(R, ref.dtype),
-                       max_vertices=cap)
+                       max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack)
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 

@@ -63,6 +63,7 @@ __all__ = [
     "simplex_embed",
     "count_vertices",
     "suggest_capacity",
+    "suggest_pieces",
 ]
 
 
@@ -211,6 +212,15 @@ class PermutohedralPlan(NamedTuple):
     band: jax.Array  # () int32 — max |neighbor − slot| over real neighbors
     #                  (small by construction: slots are in (coord-sum, lex)
     #                  order; gates the banded MXU blur kernel)
+    # Optional piece-splat tables (None unless built with max_pieces):
+    # a PIECE is a maximal run of slot-sorted entries with the same slot
+    # and consecutive pixels inside one G-pixel group, G = pack. Splatting
+    # by pieces gathers ONE full-lane (G·L = 128) packed row per piece
+    # instead of one 64 B row per entry — 2.4× fewer rows at flagship.
+    piece_group: jax.Array | None = None  # (T_P,) int32 — packed src row id
+    piece_weights: jax.Array | None = None  # (T_P, G) — weights by offset
+    piece_starts: jax.Array | None = None  # (C+1,) int32 — CSR over slots
+    num_pieces: jax.Array | None = None  # () int32 — realized piece count
 
     @property
     def d(self) -> int:
@@ -308,7 +318,12 @@ def _sort_rows(cols, extras=()):
         lambda op: jax.lax.cond(fits2, packed2, lex, op), None)
 
 
-def build_plan(ref: jax.Array, max_vertices: int | None = None) -> PermutohedralPlan:
+def build_plan(
+    ref: jax.Array,
+    max_vertices: int | None = None,
+    max_pieces: int | None = None,
+    pack: int = 8,
+) -> PermutohedralPlan:
     """Build the lattice plan from (n, d) reference features. Pure int32.
 
     All shapes are static and every step is a sort, gather, cumsum, or
@@ -330,6 +345,13 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
         pass pow2 ≥ 2·expected-occupancy for speed — natural-image
         bilateral guides occupy ~0.04-0.7n). Overflow routes to the zero
         sentinel (soft degrade, visible as num_valid > capacity).
+      max_pieces: static piece capacity T_P — enables the piece-splat
+        tables (see PermutohedralPlan). Use `suggest_pieces` to size it;
+        pieces beyond capacity are DROPPED (mass loss — visible as
+        num_pieces > capacity), so give real headroom. None (default)
+        skips construction and `apply` splats entry-wise.
+      pack: pixels per packed row G for the piece tables (the splat uses
+        them only when G·L ≤ 128, i.e. full-lane rows).
 
     Layout note: every intermediate is either 1-D of length N/C/T or a
     small list of such columns — never an (N, d) array — so the TPU's
@@ -457,16 +479,64 @@ def build_plan(ref: jax.Array, max_vertices: int | None = None) -> Permutohedral
     offs = jnp.abs(neighbors - vids[None, :, None])
     band = jnp.max(jnp.where(real, offs, 0)).astype(jnp.int32)
 
+    sorted_pixel = sorted_pixel.astype(jnp.int32)
+    piece_group = piece_weights = piece_starts = num_pieces = None
+    if max_pieces is not None and pack > 1:
+        # --- 4) piece tables: maximal same-slot consecutive-pixel runs
+        # within one G-pixel group. All scatters below have strictly
+        # increasing unique destination indices (flat = pid·G + offset
+        # increases along the sorted entries) — the cheap scatter form.
+        T_P, G = int(max_pieces), int(pack)
+        pbrk = (
+            (seg_capped[1:] != seg_capped[:-1])
+            | (sorted_pixel[1:] != sorted_pixel[:-1] + 1)
+            | (sorted_pixel[1:] // G != sorted_pixel[:-1] // G)
+        )
+        pid = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pbrk).astype(jnp.int32)]
+        )  # (N,) ascending piece ids
+        num_pieces = pid[-1] + 1
+        ok = pid < T_P
+        flat = jnp.where(ok, pid * G + sorted_pixel % G, T_P * G)  # OOB→drop
+        piece_weights = (
+            jnp.zeros((T_P * G,), sorted_weight.dtype)
+            .at[flat]
+            .set(sorted_weight, mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+            .reshape(T_P, G)
+        )
+        head = jnp.concatenate([jnp.ones((1,), bool), pbrk])
+        pid_head = jnp.where(head & ok, pid, T_P)
+        piece_group = (
+            jnp.zeros((T_P,), jnp.int32)
+            .at[pid_head]
+            .set(sorted_pixel // G, mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+        )
+        pseg = (
+            jnp.full((T_P,), C, jnp.int32)
+            .at[pid_head]
+            .set(seg_capped, mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+        )  # ascending; pad/overflow slots = C (excluded by starts[C])
+        piece_starts = jnp.searchsorted(
+            pseg, iota_c1, side="left", method="scan_unrolled"
+        ).astype(jnp.int32)
+
     return PermutohedralPlan(
         slot=slot,
         bary=bary_t.T,
         neighbors=neighbors,
         num_valid=num_valid,
-        sorted_pixel=sorted_pixel.astype(jnp.int32),
+        sorted_pixel=sorted_pixel,
         sorted_weight=sorted_weight,
         sorted_seg=seg_capped,
         starts=starts_full,
         band=band,
+        piece_group=piece_group,
+        piece_weights=piece_weights,
+        piece_starts=piece_starts,
+        num_pieces=num_pieces,
     )
 
 
@@ -506,6 +576,20 @@ def suggest_capacity(ref, headroom: float = 2.0) -> int:
     occ = int(count_vertices(jnp.asarray(ref)))
     want = max(int(occ * headroom), 64)
     return 1 << (want - 1).bit_length()
+
+
+def suggest_pieces(ref, max_vertices: int, pack: int = 8,
+                   headroom: float = 1.5) -> int:
+    """Host-side piece-capacity suggestion: pow2 ≥ headroom·pieces.
+
+    Builds a throwaway plan to count the realized pieces for THIS guide
+    at the given capacity/pack (calibration-time only — serving/bench do
+    this once per stream)."""
+    plan = jax.jit(
+        partial(build_plan, max_vertices=max_vertices, max_pieces=8, pack=pack)
+    )(jnp.asarray(ref))
+    want = max(int(plan.num_pieces) * headroom, 64)
+    return 1 << (int(want) - 1).bit_length()
 
 
 # ---------------------------------------------------------------------------
@@ -597,45 +681,74 @@ def _cumsum_rows(x: jax.Array, base: int = 2048) -> jax.Array:
     return (intra + shift[:, None, :]).reshape(R * S, L)[:M].astype(x.dtype)
 
 
-def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
-    """(n, L) → (C+1, L) vertex values; row C is the zero sentinel.
+def _boundary_reduce(contrib: jax.Array, starts: jax.Array, out_dtype) -> jax.Array:
+    """Sum slot-sorted (M, L) contribution rows into (C+1, L) vertex rows
+    given CSR boundaries `starts` (C+1 ascending positions in [0, M]);
+    row C of the output is the zero sentinel.
 
-    Entries are pre-sorted by slot, so splatting is a CSR reduction at the
-    segment boundaries — no duplicate-heavy scatter (TPU segment reductions
-    serialize under ~10²-dup distributions). And since only the C+1
-    boundary values of the N-row prefix sum are ever read, the full cumsum
-    is never materialized (a 42 MB write at flagship scale; measured
-    5.9 ms as a padded-lane scan, 2.8 ms as an MXU block scan, ~0.4 ms in
-    this boundary-only form):
+    Only the boundary values of the M-row prefix sum are ever read, so
+    the full cumsum is never materialized (a 42 MB write at flagship
+    scale; measured 5.9 ms as a padded-lane scan, 2.8 ms as an MXU block
+    scan, ~0.4 ms in this boundary-only form):
 
       1. per-block totals of G = 128/L consecutive rows (one data pass),
-      2. exclusive prefix over the N/G block totals (recursive MXU scan
+      2. exclusive prefix over the M/G block totals (recursive MXU scan
          on a G-fold smaller array),
       3. cs[p] for each boundary p: one full-lane row gather of p's block
          + a masked partial sum of its first p mod G rows.
     """
-    C = plan.capacity
-    L = src.shape[1]
-    N = plan.sorted_pixel.shape[0]
-    acc = jnp.promote_types(src.dtype, jnp.float32)
-    contrib = (plan.sorted_weight[:, None] * src[plan.sorted_pixel]).astype(acc)
-
+    M, L = contrib.shape
+    acc = contrib.dtype
     G = max(_LANES // max(L, 1), 1)
-    R = -(-N // G)
-    xp = jnp.pad(contrib, ((0, R * G - N), (0, 0))).reshape(R, G, L)
+    R = -(-M // G)
+    xp = jnp.pad(contrib, ((0, R * G - M), (0, 0))).reshape(R, G, L)
     totals = xp.sum(axis=1)  # (R, L)
     gpref = _cumsum_rows(totals)  # inclusive (R, L)
     gpref_ex = jnp.concatenate([jnp.zeros((1, L), gpref.dtype), gpref], axis=0)
 
-    p = plan.starts  # (C+1,) ascending in [0, N]
-    b = p // G
-    o = p % G
+    b = starts // G
+    o = starts % G
     rows = xp.reshape(R, G * L)[jnp.minimum(b, R - 1)]  # (C+1, G·L) full-lane
     mask = (jnp.arange(G)[None, :] < o[:, None]).astype(acc)  # (C+1, G)
     partial = jnp.einsum("cg,cgl->cl", mask, rows.reshape(-1, G, L))
     cs_at = gpref_ex[b] + partial  # (C+1, L) == cumsum at the boundaries
-    vals = (cs_at[1:] - cs_at[:-1]).astype(src.dtype)  # (C, L)
-    return jnp.concatenate([vals, jnp.zeros((1, L), src.dtype)], axis=0)
+    vals = (cs_at[1:] - cs_at[:-1]).astype(out_dtype)  # (C, L)
+    return jnp.concatenate([vals, jnp.zeros((1, L), out_dtype)], axis=0)
+
+
+def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
+    """(n, L) → (C+1, L) vertex values; row C is the zero sentinel.
+
+    Entries are pre-sorted by slot, so splatting is a CSR reduction at
+    the segment boundaries (`_boundary_reduce`) — no duplicate-heavy
+    scatter (TPU segment reductions serialize under ~10²-dup
+    distributions).
+
+    Two gather strategies feed the reduction:
+      - entry-wise (always available): one (L-lane) row gather per
+        entry — N = n·(d+1) random 64 B rows at L=16, the measured
+        per-iteration bottleneck (row-transaction-bound).
+      - piece-wise (when the plan carries piece tables and G·L ≤ 128):
+        one FULL-LANE packed row gather per piece + a per-piece (G,)
+        weight contraction — ~2.4× fewer rows at flagship, each fully
+        utilized.
+    """
+    n, L = src.shape
+    acc = jnp.promote_types(src.dtype, jnp.float32)
+    pw = plan.piece_weights
+    if pw is not None and pw.shape[1] * L <= _LANES:
+        T_P, G = pw.shape
+        R = -(-n // G)
+        packed = jnp.pad(src, ((0, R * G - n), (0, 0))).reshape(R, G * L)
+        rows = packed[plan.piece_group]  # (T_P, G·L) full-lane gather
+        contrib = jnp.einsum(
+            "tg,tgl->tl",
+            pw.astype(acc),
+            rows.reshape(T_P, G, L).astype(acc),
+        )
+        return _boundary_reduce(contrib, plan.piece_starts, src.dtype)
+    contrib = (plan.sorted_weight[:, None] * src[plan.sorted_pixel]).astype(acc)
+    return _boundary_reduce(contrib, plan.starts, src.dtype)
 
 
 def _blur_pass(vals: jax.Array, nbr: jax.Array) -> jax.Array:
@@ -761,6 +874,14 @@ def _planned_bwd(res, g):
         sorted_seg=np.zeros(plan.sorted_seg.shape, f0),
         starts=np.zeros(plan.starts.shape, f0),
         band=np.zeros(plan.band.shape, f0),
+        piece_group=None if plan.piece_group is None
+        else np.zeros(plan.piece_group.shape, f0),
+        piece_weights=None if plan.piece_weights is None
+        else jnp.zeros_like(plan.piece_weights),
+        piece_starts=None if plan.piece_starts is None
+        else np.zeros(plan.piece_starts.shape, f0),
+        num_pieces=None if plan.num_pieces is None
+        else np.zeros(plan.num_pieces.shape, f0),
     )
     return grad_src, grad_ref, plan_cot
 

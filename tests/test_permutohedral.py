@@ -287,3 +287,65 @@ def test_splat_group_boundary_sizes(rng, n):
     corr = np.corrcoef(out.ravel(), (dn / ones).ravel())[0, 1]
     assert np.isfinite(out).all()
     assert corr > 0.95, corr  # approximation-quality floor; garbage → ~0
+
+
+def test_piece_splat_matches_entry_splat(rng):
+    """The full-lane piece splat (packed-row gather + per-piece weight
+    contraction) must reproduce the entry-wise splat and the full filter
+    bit-near-exactly, and the custom VJP must flow through piece plans."""
+    from depth_estimation_tpu.ops.permutohedral import (
+        apply_plan, build_plan, lattice_filter_planned, suggest_capacity,
+        suggest_pieces, _splat,
+    )
+
+    n, d, L = 777, 4, 16
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    cap = suggest_capacity(ref)
+    pieces = suggest_pieces(ref, cap, pack=8)
+    plain = jax.jit(partial(build_plan, max_vertices=cap))(ref)
+    pz = jax.jit(
+        partial(build_plan, max_vertices=cap, max_pieces=pieces, pack=8)
+    )(ref)
+    assert int(pz.num_pieces) <= pieces
+    # piece vs entry summation order differs -> f32 reassociation only
+    np.testing.assert_allclose(
+        np.asarray(_splat(pz, src)), np.asarray(_splat(plain, src)),
+        rtol=1e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(apply_plan(pz, src)), np.asarray(apply_plan(plain, src)),
+        rtol=1e-3, atol=2e-4,
+    )
+
+    def loss(s, r, plan):
+        return (lattice_filter_planned(s, r, plan) ** 2).sum()
+
+    g_pz = jax.jit(jax.grad(loss, argnums=(0, 1)))(src, ref, pz)
+    g_pl = jax.jit(jax.grad(loss, argnums=(0, 1)))(src, ref, plain)
+    for a, b in zip(g_pz, g_pl):
+        b = np.asarray(b)
+        # grads span ~1e5; absolute tolerance scales with magnitude
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=5e-3, atol=1e-6 * max(np.abs(b).max(), 1.0)
+        )
+
+
+def test_piece_overflow_soft_degrade(rng):
+    """Pieces beyond capacity are dropped (mass loss), visible as
+    num_pieces > capacity — the documented soft-degrade contract."""
+    from depth_estimation_tpu.ops.permutohedral import _splat, build_plan
+
+    n, d, L = 400, 3, 16
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    tiny = jax.jit(
+        partial(build_plan, max_vertices=2048, max_pieces=64, pack=8)
+    )(ref)
+    assert int(tiny.num_pieces) > 64  # overflowed
+    out = np.asarray(_splat(tiny, src))
+    full = np.asarray(
+        _splat(jax.jit(partial(build_plan, max_vertices=2048))(ref), src)
+    )
+    assert np.isfinite(out).all()
+    assert out.sum() < full.sum()  # mass lost, not corrupted

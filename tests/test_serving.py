@@ -28,8 +28,13 @@ def test_batched_matches_single(batch):
     server = StereoServer(cfg)
     out = np.asarray(server(lefts, rights))
     assert out.shape == (8, 32, 48)
+    # the server auto-calibrated capacity/pieces on the first frame;
+    # compare against single-image inference under the SAME calibrated
+    # config (the vmap-vs-single contract being tested)
     single = np.asarray(
-        crf_stereo_infer(jnp.asarray(lefts[3]), jnp.asarray(rights[3]), cfg)["disparity"]
+        crf_stereo_infer(
+            jnp.asarray(lefts[3]), jnp.asarray(rights[3]), server.cfg
+        )["disparity"]
     )
     np.testing.assert_allclose(out[3], single, rtol=1e-4, atol=1e-5)
 
