@@ -140,10 +140,12 @@ class ResNetFPN(nn.Module):
     out_dim: int = 256
     norm: str = "gn"
     stride_1x1: bool = False
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
-        body = ResNet(self.blocks, norm=self.norm, stride_1x1=self.stride_1x1)
+        body = ResNet(self.blocks, base_width=self.base_width,
+                      norm=self.norm, stride_1x1=self.stride_1x1)
         return FPN(self.out_dim)(body(x))
 
 

@@ -188,6 +188,11 @@ class MaskRCNN(nn.Module):
     det_nms_thresh: float = 0.5
     score_thresh: float = 0.05
     num_keypoints: int = 0
+    # backbone conventions — set from `utils.weights.resnet_import_kwargs`
+    # (plus the checkpoint's width) when grafting pretrained weights
+    backbone_norm: str = "gn"
+    stride_1x1: bool = False
+    base_width: int = 64
 
     @nn.compact
     def __call__(
@@ -195,7 +200,10 @@ class MaskRCNN(nn.Module):
     ):  # (h, w, 3) → dict
         h, w = image.shape[:2]
         K = self.num_classes
-        feats = ResNetFPN(self.blocks, self.fpn_dim)(image[None])
+        feats = ResNetFPN(
+            self.blocks, self.fpn_dim, norm=self.backbone_norm,
+            stride_1x1=self.stride_1x1, base_width=self.base_width,
+        )(image[None])
         rpn_logits, rpn_deltas = RPNHead(dim=self.fpn_dim)(feats)
 
         shapes = [(f.shape[1], f.shape[2]) for f in feats]

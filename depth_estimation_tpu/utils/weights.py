@@ -39,6 +39,7 @@ __all__ = [
     "load_torch_state_dict",
     "torch_resnet_params",
     "torch_vgg16_params",
+    "graft_backbone",
 ]
 
 
@@ -279,3 +280,34 @@ def torch_vgg16_params(sd: Mapping[str, np.ndarray]) -> dict:
                 "bias": np.asarray(sd[f"features.{i}.bias"]),
             }
     return {"params": params}
+
+
+def graft_backbone(maskrcnn_params: dict, resnet_params: dict) -> dict:
+    """Replace the ResNet body inside a MaskRCNN params pytree with
+    imported pretrained params (the `load_weights`/`load_detectron_weight`
+    fine-tuning entry of the reference, `Mask_RCNN/mrcnn/model.py:
+    2103-2160`): FPN/RPN/heads keep their fresh init, the body carries
+    the checkpoint.
+
+    The MaskRCNN must be constructed with a matching backbone config —
+    ``MaskRCNN(..., backbone_norm='affine', **resnet_import_kwargs(src)``'s
+    stride flag, and the checkpoint's ``base_width``. Raises ValueError
+    on any leaf shape mismatch (wrong blocks/width/source convention).
+    """
+    import jax
+
+    body = maskrcnn_params["params"]["ResNetFPN_0"]["ResNet_0"]
+    cur = jax.tree.map(lambda x: tuple(np.shape(x)), body)
+    new = jax.tree.map(lambda x: tuple(np.shape(x)), resnet_params)
+    if cur != new:
+        raise ValueError(
+            "imported backbone does not match the model's ResNet tree: "
+            f"model {cur} vs checkpoint {new}"
+        )
+    out = dict(maskrcnn_params)
+    params = dict(out["params"])
+    fpn = dict(params["ResNetFPN_0"])
+    fpn["ResNet_0"] = resnet_params
+    params["ResNetFPN_0"] = fpn
+    out["params"] = params
+    return out

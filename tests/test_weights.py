@@ -266,3 +266,40 @@ def test_vgg16_import_from_torchvision_names():
     np.testing.assert_allclose(
         np.asarray(out[..., :64]), np.asarray(y[0]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_graft_backbone_into_maskrcnn(torch_net):
+    """Imported pretrained ResNet params graft into a MaskRCNN params
+    tree and drive end-to-end inference (the reference's load-COCO-weights
+    → detect flow, `mrcnn/model.py:2103-2160` + POC.ipynb cells 2-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.models.detection.rcnn import MaskRCNN
+
+    sd = _torch_sd_numpy(torch_net)
+    imported = W.torch_resnet_params(sd, blocks=BLOCKS)
+    model = MaskRCNN(
+        num_classes=4, blocks=BLOCKS, fpn_dim=16, num_proposals=8,
+        num_detections=4, score_thresh=-1.0,
+        backbone_norm="affine", base_width=WIDTH,
+        **{"stride_1x1": W.resnet_import_kwargs("torch")["stride_1x1"]},
+    )
+    img = jnp.asarray(np.random.RandomState(0).rand(64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img)
+    grafted = W.graft_backbone(params, imported)
+    out = jax.jit(model.apply)(grafted, img)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+    # the graft actually changed the backbone (different body → different
+    # RPN scores) while keeping every shape identical
+    out0 = jax.jit(model.apply)(params, img)
+    assert not np.allclose(
+        np.asarray(out["rpn_scores"]), np.asarray(out0["rpn_scores"])
+    )
+
+    # wrong width → loud shape error, not silent garbage
+    bad = MaskRCNN(num_classes=4, blocks=BLOCKS, fpn_dim=16,
+                   backbone_norm="affine", base_width=WIDTH * 2)
+    bad_params = bad.init(jax.random.PRNGKey(0), img)
+    with pytest.raises(ValueError):
+        W.graft_backbone(bad_params, imported)
