@@ -387,9 +387,13 @@ def build_plan(
     seg = (jnp.cumsum(is_head) - 1).astype(jnp.int32)  # (N,) ascending
     num_valid = seg[-1] + 1
     seg_capped = jnp.minimum(seg, C)
+    iota_n = jnp.arange(N, dtype=jnp.int32)
 
-    # inverse permutation via one more stable sort: sort (order, seg) by order
-    _, inv_seg = jax.lax.sort((order, seg_capped), num_keys=1, is_stable=True)
+    # inverse permutation by scatter (destinations are a permutation —
+    # unique by construction; replaces a full extra stable sort)
+    inv_seg = jnp.zeros((N,), jnp.int32).at[order].set(
+        seg_capped, unique_indices=True
+    )
     slot = inv_seg.reshape(d + 1, n).T  # (n, d+1)
 
     # --- 2) CSR entry layout (already sorted by seg) ---------------------
@@ -397,13 +401,17 @@ def build_plan(
 
     # --- 3) unique keys + blur neighbors -----------------------------------
     iota_c1 = jnp.arange(C + 1, dtype=jnp.int32)
-    # CSR boundaries: starts[c] = #entries with slot < c (binary search on
-    # the ascending seg ids; also the first sorted position of slot c).
-    # C+1 queries against N entries: log2(N) unrolled gather rounds beat
-    # the sort-based merge (which re-sorts all N entries) by ~10x here.
-    starts_full = jnp.searchsorted(
-        seg_capped, iota_c1, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
+    # CSR boundaries: starts[c] = first sorted position of slot c. One
+    # scatter-min of the head positions + a backward min-scan (restores
+    # searchsorted's ascending contract at slots with no head: empty
+    # slots inherit the NEXT occupied slot's start, so their segments are
+    # empty) replaces C+1 binary-search rounds over the N entries.
+    starts_full = (
+        jnp.full((C + 1,), N, jnp.int32)
+        .at[jnp.where(is_head, seg_capped, C + 1)]
+        .min(iota_n, mode="drop")
+    )
+    starts_full = jax.lax.associative_scan(jnp.minimum, starts_full, reverse=True)
     iota_c = iota_c1[:C]
     starts = starts_full[:C]
     valid_c = iota_c < num_valid
@@ -475,9 +483,13 @@ def build_plan(
     minus = found[(d + 1) * C :].reshape(d + 1, C)
     neighbors = jnp.stack([plus, minus], axis=-1)  # (d+1, C, 2)
 
-    real = neighbors != C
-    offs = jnp.abs(neighbors - vids[None, :, None])
-    band = jnp.max(jnp.where(real, offs, 0)).astype(jnp.int32)
+    # band from the (d+1, C) halves (the stacked (…, 2) array pads its
+    # minor dim 2 → 128 lanes in HBM; don't re-read it for a reduction)
+    band = jnp.int32(0)
+    for half in (plus, minus):
+        offs = jnp.abs(half - vids[None, :])
+        band = jnp.maximum(band, jnp.max(jnp.where(half != C, offs, 0)))
+    band = band.astype(jnp.int32)
 
     sorted_pixel = sorted_pixel.astype(jnp.int32)
     piece_group = piece_weights = piece_starts = num_pieces = None
@@ -519,9 +531,16 @@ def build_plan(
             .set(seg_capped, mode="drop", unique_indices=True,
                  indices_are_sorted=True)
         )  # ascending; pad/overflow slots = C (excluded by starts[C])
-        piece_starts = jnp.searchsorted(
-            pseg, iota_c1, side="left", method="scan_unrolled"
-        ).astype(jnp.int32)
+        # piece CSR boundaries: scatter-min + backward min-scan (same
+        # ascending-contract trick as starts_full above)
+        piece_starts = (
+            jnp.full((C + 1,), T_P, jnp.int32)
+            .at[pseg]
+            .min(jnp.arange(T_P, dtype=jnp.int32))
+        )
+        piece_starts = jax.lax.associative_scan(
+            jnp.minimum, piece_starts, reverse=True
+        )
 
     return PermutohedralPlan(
         slot=slot,
@@ -579,8 +598,11 @@ def suggest_capacity(ref, headroom: float = 2.0) -> int:
 
 
 def suggest_pieces(ref, max_vertices: int, pack: int = 8,
-                   headroom: float = 1.5) -> int:
-    """Host-side piece-capacity suggestion: pow2 ≥ headroom·pieces.
+                   headroom: float = 1.1) -> int:
+    """Host-side piece-capacity suggestion: headroom·pieces rounded up to
+    a 4096 multiple. Deliberately TIGHT (not pow2): every padding row
+    costs a full gather + reduce row per filter call, so a 2× pow2 bound
+    would erase the piece path's row savings.
 
     Builds a throwaway plan to count the realized pieces for THIS guide
     at the given capacity/pack (calibration-time only — serving/bench do
@@ -588,8 +610,8 @@ def suggest_pieces(ref, max_vertices: int, pack: int = 8,
     plan = jax.jit(
         partial(build_plan, max_vertices=max_vertices, max_pieces=8, pack=pack)
     )(jnp.asarray(ref))
-    want = max(int(plan.num_pieces) * headroom, 64)
-    return 1 << (int(want) - 1).bit_length()
+    want = max(int(int(plan.num_pieces) * headroom), 4096)
+    return -(-want // 4096) * 4096
 
 
 # ---------------------------------------------------------------------------
