@@ -38,6 +38,7 @@ __all__ = [
     "train_detection_coco",
     "train_detection_shapes_batched",
     "evaluate_detection",
+    "train_uncertainty",
     "train_upsampler",
 ]
 
@@ -563,6 +564,81 @@ def evaluate_detection(model, params, items, mesh=None, batch_size: int | None =
         ap50s.append(ap)
         aps.append(compute_map_range(pb, pc, ps, item["boxes"], item["classes"]))
     return {"map50": float(np.mean(ap50s)), "map": float(np.mean(aps))}
+
+
+def train_uncertainty(
+    items: list,
+    num_steps: int = 60,
+    lr: float = 1e-3,
+    niters: int = 2,
+    r: int = 15,
+    num_disp: int = 16,
+    d_feat: int = 64,
+    seed: int = 0,
+    unc_weighted: bool = False,
+):
+    """Train the uncertainty-regressing CRF refiner end-to-end
+    (`L1UncRegressor`, `crf/mb_stereo_crf.py:37-60`): the 3-conv
+    uncertainty head produces per-pixel confidence exp(−s) that gates the
+    CRF message pass (`CRFwUncertainty`, `:81-102`), trained jointly with
+    the guide projection and compatibility by Adam on masked L1.
+
+    `unc_weighted=True` uses the reference's (commented) heteroscedastic
+    form |conf·(d − y)| − log conf instead of plain L1.
+
+    Args:
+      items: dicts with 'left', 'right' (h, w, 3) and 'disparity' (h, w)
+        GT (0 = invalid).
+
+    Returns (params, history with per-step loss + before/after masked L1).
+    """
+    from ..models.features import random_features as _rf
+    from ..models.refiner import uncertainty_apply, uncertainty_init
+    from ..train.metrics import masked_l1
+
+    params = uncertainty_init(jax.random.PRNGKey(seed), d_in=d_feat)
+
+    def prep(item):
+        left = jnp.asarray(item["left"], jnp.float32)
+        right = jnp.asarray(item["right"], jnp.float32)
+        gt = jnp.asarray(item["disparity"], jnp.float32)
+        logits = -cost_volume(left, right, num_disp, 9)
+        feats = _rf(left, out_dim=d_feat)
+        return logits, left, feats, gt
+
+    batches = [prep(it) for it in items]
+
+    def loss_fn(p, logits, img, feats, gt):
+        depth, conf = uncertainty_apply(p, logits, img, feats, niters, r)
+        if unc_weighted:
+            mask = (gt > 0).astype(depth.dtype)
+            resid = jnp.abs(conf * (depth - gt)) - jnp.log(conf + 1e-8)
+            return (resid * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        return masked_l1(depth, gt)
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, o, *b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, *b)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    def eval_l1(p):
+        return float(
+            np.mean([
+                float(masked_l1(uncertainty_apply(p, *b[:3], niters, r)[0], b[3]))
+                for b in batches
+            ])
+        )
+
+    history = {"loss": [], "l1_before": eval_l1(params)}
+    for i in range(num_steps):
+        params, opt_state, loss = step(params, opt_state, *batches[i % len(batches)])
+        history["loss"].append(float(loss))
+    history["l1_after"] = eval_l1(params)
+    return params, history
 
 
 def train_upsampler(

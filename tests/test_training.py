@@ -132,3 +132,24 @@ def test_distributed_init_single_process_noop():
     from depth_estimation_tpu.parallel.mesh import distributed_init
 
     assert distributed_init() is False
+
+
+def test_train_uncertainty_reduces_l1():
+    """End-to-end confidence-weighted CRF training (`L1UncRegressor`,
+    `crf/mb_stereo_crf.py:37-60`): the uncertainty head + guide projection
+    + compatibility train jointly and reduce masked L1."""
+    from depth_estimation_tpu.train.experiments import train_uncertainty
+
+    left, right, disp = make_stereo_pair(np.random.RandomState(1), h=32, w=48, max_disp=6)
+    items = [{"left": left, "right": right, "disparity": disp}]
+    params, hist = train_uncertainty(
+        items, num_steps=8, lr=3e-3, niters=1, r=5, num_disp=8, d_feat=8
+    )
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["l1_after"] < hist["l1_before"], hist
+    # heteroscedastic variant also runs and stays finite
+    _, hist2 = train_uncertainty(
+        items, num_steps=2, lr=3e-3, niters=1, r=5, num_disp=8, d_feat=8,
+        unc_weighted=True,
+    )
+    assert np.isfinite(hist2["loss"]).all()
