@@ -323,6 +323,7 @@ def build_plan(
     max_vertices: int | None = None,
     max_pieces: int | None = None,
     pack: int = 8,
+    order_by_sum: bool = True,
 ) -> PermutohedralPlan:
     """Build the lattice plan from (n, d) reference features. Pure int32.
 
@@ -373,10 +374,14 @@ def build_plan(
     # the banded MXU blur kernel (ops.pallas.lattice_blur) relies on it.
     # Equality groups are unchanged (equal keys ⇒ equal sum), so dedup
     # semantics are identical to the plain lexicographic order.
-    s_col = flat_cols[0]
-    for c in flat_cols[1:]:
-        s_col = s_col + c
-    flat_cols = [s_col] + flat_cols
+    # (set order_by_sum=False to skip the extra sort column: plain lex
+    # order, no band guarantee — cheaper plan build when no banded kernel
+    # consumes plan.band)
+    if order_by_sum:
+        s_col = flat_cols[0]
+        for c in flat_cols[1:]:
+            s_col = s_col + c
+        flat_cols = [s_col] + flat_cols
 
     # --- 1) lexicographic dedup -----------------------------------------
     # bary rides the sort as payload → sorted_weight with no gather
@@ -420,7 +425,7 @@ def build_plan(
     # prefixed) keys — big-table gathers must be row-major on TPU (a (C,)
     # scalar gather from an HBM (N,) table runs element-at-a-time; rows
     # amortize it over lanes).
-    dk = d + 1  # columns per key: [coord-sum, d stored coords]
+    dk = len(flat_cols)  # columns per key: [coord-sum?, d stored coords]
     flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, d+1)
     head_entry = order[jnp.minimum(starts, N - 1)]  # (C,)
     # Invalid slots get a sentinel key JUST above the occupied coordinate
@@ -439,8 +444,9 @@ def build_plan(
     eye = np.eye(d, dtype=np.int32)
     deltas = [np.ones(d, np.int32) - (d + 1) * eye[j] for j in range(d)]
     deltas.append(np.ones(d, dtype=np.int32))
-    deltas = [np.concatenate([[dl.sum()], dl]) for dl in deltas]
-    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, d+1) static
+    if order_by_sum:
+        deltas = [np.concatenate([[dl.sum()], dl]) for dl in deltas]
+    delta_arr = jnp.asarray(np.stack(deltas))  # (d+1, dk) static
 
     queries = jnp.concatenate(
         [
