@@ -9,14 +9,33 @@ this fwd pass, unpublished — SURVEY.md §6).
 `vs_baseline`: the reference publishes no numbers for the CRF pipeline
 (BASELINE.json.published == {}), so we report speedup against this repo's
 own dense O(n²) oracle executing the mathematically identical mean-field
-update on the same device — the honest stand-in for the reference's
-"brute-force vs lattice" trade (`crf/crf_module.py:8-20` vs lattice path).
+update on the same device class. The oracle time comes from the committed
+`BENCH_SUITE.json` (config `tsukuba_dense`, measured on the same TPU);
+pass --dense-baseline to re-measure it live instead (adds one more TPU
+compile to the run).
 
-Usage: python bench.py [--device cpu|tpu] [--labels L] [--iters N]
+Reliability design (this container's axon TPU relay wedges ~50% of process
+starts and remote compiles take minutes — CLAUDE.md):
+  * the parent re-execs itself as a measurement worker under a deadline
+    and retries, so one wedge doesn't kill the invocation;
+  * capacity calibration (occupancy count + piece count) runs ONCE in a
+    CPU-only subprocess and is cached in /tmp across attempts AND across
+    driver retries — the measurement worker compiles exactly TWO TPU
+    programs (5-iter and 1-iter pipeline), none of the calibration ones;
+  * the persistent XLA compilation cache is enabled so a retried worker
+    reuses executables compiled by a prior attempt when the backend
+    supports serialization;
+  * all timings are FETCH-anchored (utils/timing.py): this relay's
+    `block_until_ready` returns without waiting for the device, so naive
+    wall-clock loops measure Python dispatch (0.05 ms "pipelines").
+
+Usage: python bench.py [--device cpu|tpu] [--labels L] [--niters N]
+       A/B switches: --headroom F --pieces {0,1} --order-by-sum {0,1}
 """
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import subprocess
@@ -25,27 +44,140 @@ import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+TOTAL_BUDGET_S = 660  # worst-case wall clock for the worker retry loop
+ATTEMPT_TIMEOUT_S = 330
 
-def _supervised_main() -> int:
-    """Run the benchmark in a worker subprocess with retries.
 
-    The TPU backend in this container initializes through a remote relay
-    that intermittently blocks forever (~50% of process starts). The
-    parent re-execs itself as a worker with a timeout and retries, so a
-    single `python bench.py` invocation is wedge-resistant.
-    """
+def _argparser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default=None, help="force jax platform")
+    ap.add_argument("--labels", type=int, default=16)
+    ap.add_argument("--niters", type=int, default=5)
+    ap.add_argument("--h", type=int, default=288)
+    ap.add_argument("--w", type=int, default=384)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--headroom", type=float, default=3.0,
+                    help="capacity headroom over measured lattice occupancy")
+    ap.add_argument("--pieces", type=int, default=0, choices=(0, 1),
+                    help="enable the piece-splat tables (default 0: "
+                         "entry-wise splat — the round-2 validated config)")
+    ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1),
+                    help="prepend the coord-sum radix column to plan sorts")
+    ap.add_argument("--dense-baseline", action="store_true",
+                    help="measure the dense O(n²) oracle live for "
+                         "vs_baseline (extra TPU compile); default reads "
+                         "the committed BENCH_SUITE.json number")
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="run in-process (no wedge-watchdog subprocess)")
+    return ap
+
+
+def _calib_key(args) -> str:
+    raw = json.dumps([args.h, args.w, args.labels, args.headroom,
+                      bool(args.pieces)], sort_keys=True)
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
+def _calib_path(args) -> str:
+    return f"/tmp/det_bench_calib_{_calib_key(args)}.json"
+
+
+def _load_inputs(args):
+    """(left, right) jnp arrays — real Tsukuba at flagship shape."""
+    import jax.numpy as jnp
+
+    from depth_estimation_tpu.data.datasets import TsukubaPair
+
+    tsu = TsukubaPair()
+    if tsu.available() and (args.h, args.w) == (288, 384):
+        item = tsu.load()
+        return (jnp.asarray(item["left"], jnp.float32),
+                jnp.asarray(item["right"], jnp.float32))
+    rng = np.random.RandomState(0)
+    return (jnp.asarray(rng.rand(args.h, args.w, 3), jnp.float32),
+            jnp.asarray(rng.rand(args.h, args.w, 3), jnp.float32))
+
+
+def _calibrate(args) -> dict:
+    """CPU-side capacity calibration (runs in the CPU-only subprocess)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # FIRST jax call: no relay
+    from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
+                                                      calibrate_capacity)
+
+    left, _ = _load_inputs(args)
+    cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters,
+                          backend="lattice")
+    cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
+                             pieces=bool(args.pieces))
+    return {"max_vertices": cfg.max_vertices, "max_pieces": cfg.max_pieces}
+
+
+def _calib_main(args) -> int:
+    print(json.dumps(_calibrate(args)))
+    return 0
+
+
+def _get_calibration(args) -> dict | None:
+    """Supervisor-side: cached CPU calibration (one subprocess, reused
+    across bench attempts and driver retries)."""
+    path = _calib_path(args)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        pass
+    env = dict(os.environ, DET_BENCH_CALIB="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env=env, timeout=240, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print("bench calibration timed out", file=sys.stderr)
+        return None
+    line = next((l for l in proc.stdout.splitlines() if l.startswith("{")),
+                None)
+    if proc.returncode != 0 or not line:
+        print("bench calibration failed:\n" + proc.stderr[-2000:],
+              file=sys.stderr)
+        return None
+    calib = json.loads(line)
+    try:
+        with open(path, "w") as f:
+            json.dump(calib, f)
+    except OSError:
+        pass
+    return calib
+
+
+def _supervised_main(args) -> int:
+    """Run the benchmark in a worker subprocess under a total deadline."""
+    calib = _get_calibration(args)
     env = dict(os.environ, DET_BENCH_WORKER="1")
-    for attempt in range(4):
+    if calib:
+        env["DET_BENCH_CALIB_JSON"] = json.dumps(calib)
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining < 120:
+            print(f"bench: budget exhausted after {attempt - 1} attempts",
+                  file=sys.stderr)
+            return 1
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
                 env=env,
-                timeout=720,
+                timeout=min(ATTEMPT_TIMEOUT_S, remaining),
                 capture_output=True,
                 text=True,
             )
         except subprocess.TimeoutExpired:
-            print(f"bench worker timed out (attempt {attempt + 1})", file=sys.stderr)
+            print(f"bench worker timed out (attempt {attempt})",
+                  file=sys.stderr)
             continue
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("{")), None
@@ -54,92 +186,103 @@ def _supervised_main() -> int:
             print(line)
             return 0
         print(
-            f"bench worker failed rc={proc.returncode} (attempt {attempt + 1}):\n"
+            f"bench worker failed rc={proc.returncode} (attempt {attempt}):\n"
             + proc.stderr[-2000:],
             file=sys.stderr,
         )
-    return 1
+
+
+def _suite_dense_ms(device_str: str) -> float | None:
+    """Committed dense-oracle pipeline time matching this device class."""
+    try:
+        with open(os.path.join(ROOT, "BENCH_SUITE.json")) as f:
+            suite = json.load(f)
+        entry = suite["tsukuba_dense"]
+        same_class = ("TPU" in entry.get("device", "")) == ("TPU" in device_str)
+        if entry.get("metric") == "pipeline_ms" and same_class:
+            return float(entry["value"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--device", default=None, help="force jax platform")
-    ap.add_argument("--labels", type=int, default=16)
-    ap.add_argument("--niters", type=int, default=5)
-    ap.add_argument("--h", type=int, default=288)
-    ap.add_argument("--w", type=int, default=384)
-    ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--dense-baseline", action="store_true", default=None,
-                    help="also time the dense O(n²) oracle for vs_baseline "
-                         "(default: on unless --device cpu)")
-    ap.add_argument("--no-dense-baseline", dest="dense_baseline",
-                    action="store_false")
-    ap.add_argument("--no-supervise", action="store_true",
-                    help="run in-process (no wedge-watchdog subprocess)")
-    args = ap.parse_args()
+    args = _argparser().parse_args()
 
     import jax
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
-    import jax.numpy as jnp
+    for flag, val in (("jax_compilation_cache_dir", "/tmp/det_jax_ccache"),
+                      ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                      ("jax_persistent_cache_min_entry_size_bytes", 0)):
+        try:
+            jax.config.update(flag, val)
+        except Exception:
+            pass  # older jax: cache flags absent — correctness unaffected
+    import jax.numpy as jnp  # noqa: F401  (backend init happens lazily)
 
-    from depth_estimation_tpu.models.pipeline import CRFStereoConfig, crf_stereo_infer
-    from depth_estimation_tpu.data.datasets import TsukubaPair
+    from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
+                                                      crf_stereo_infer)
 
     h, w = args.h, args.w
-    cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters, backend="lattice")
+    cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters,
+                          backend="lattice",
+                          order_by_sum=bool(args.order_by_sum))
+    left, right = _load_inputs(args)
 
-    tsu = TsukubaPair()
-    if tsu.available() and (h, w) == (288, 384):
-        item = tsu.load()
-        left = jnp.asarray(item["left"], jnp.float32)
-        right = jnp.asarray(item["right"], jnp.float32)
+    # Tight static lattice capacity: measured occupancy + headroom (done
+    # once on the CPU backend by the supervisor — the library serving path
+    # does the same via StereoServer auto-calibration). Natural images
+    # occupy ~0.04n vertices, ~50x under the safe pow2 ≥ 2n default.
+    calib_json = os.environ.get("DET_BENCH_CALIB_JSON")
+    if calib_json:
+        calib = json.loads(calib_json)
     else:
-        rng = np.random.RandomState(0)
-        left = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
-        right = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
+        from dataclasses import replace as _r
 
-    # Tight static lattice capacity: measure occupancy once (host-side) and
-    # give 3x headroom — natural images occupy ~0.04n vertices, so this
-    # shrinks the blur working set ~50x vs the safe default (the library
-    # serving path does the same via StereoServer auto-calibration).
-    from depth_estimation_tpu.models.pipeline import calibrate_capacity
+        calib = _calibrate(args) if args.device == "cpu" else None
+        if calib is None:  # in-process TPU fallback (--no-supervise)
+            from depth_estimation_tpu.models.pipeline import calibrate_capacity
 
-    cfg = calibrate_capacity(left, cfg, headroom=3.0)
+            cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
+                                     pieces=bool(args.pieces))
+            calib = {"max_vertices": cfg.max_vertices,
+                     "max_pieces": cfg.max_pieces}
+    from dataclasses import replace
 
-    fn = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
-    out = fn(left, right)
-    jax.block_until_ready(out)  # compile
+    cfg = replace(cfg, max_vertices=calib["max_vertices"],
+                  max_pieces=calib["max_pieces"] if args.pieces else None)
 
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out = fn(left, right)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.reps
+    # Fetch-anchored timing (utils/timing.py): on this relay
+    # `block_until_ready` returns without waiting for the device, so each
+    # timed rep folds its output into a device scalar and only the final
+    # 4-byte fetch synchronizes; differencing cancels the fetch cost.
+    from depth_estimation_tpu.utils.timing import chain_timer
+
+    fn = jax.jit(
+        lambda a, l, r: a + crf_stereo_infer(l, r, cfg)["disparity"].sum()
+    )
+    dt = chain_timer(lambda a: fn(a, left, right), reps=args.reps)
     iters_per_s = args.niters / dt
 
     # Per-iteration cost + HBM roofline fraction: time the same pipeline at
     # 1 iteration; the difference isolates (niters-1) mean-field updates
     # from the shared plan-build/cost-volume/decode work.
-    from dataclasses import replace as _replace
-
     from depth_estimation_tpu.utils.profiling import roofline
 
     iter_ms = None
     roofline_fraction = None
     if args.niters > 1:
-        cfg1 = _replace(cfg, niters=1)
-        fn1 = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg1)["disparity"])
-        out1 = fn1(left, right)
-        jax.block_until_ready(out1)
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out1 = fn1(left, right)
-        jax.block_until_ready(out1)
-        dt1 = (time.perf_counter() - t0) / args.reps
+        cfg1 = replace(cfg, niters=1)
+        fn1 = jax.jit(
+            lambda a, l, r: a + crf_stereo_infer(l, r, cfg1)["disparity"].sum()
+        )
+        dt1 = chain_timer(lambda a: fn1(a, left, right), reps=args.reps)
         iter_s = max(dt - dt1, 1e-9) / (args.niters - 1)
         iter_ms = iter_s * 1e3
+        if iter_ms < 1e-3:  # timing noise swamped the difference
+            iter_ms = None
         # Essential per-iteration HBM traffic (logical bytes, f32): softmax
         # + Mu matmul + splat gather/reduce + d+1 blur gather-axpy passes +
         # slice gathers + energy update. Implementation padding/waste is
@@ -159,23 +302,27 @@ def main():
             + ((d + 1) * n * L + n * (d + 1) * 2 + n * L) * f  # slice
             + 3 * n * L * f        # adjacency subtract + E0 add + write
         )
-        roofline_fraction = roofline(iter_s, traffic)["hbm_fraction"]
+        if iter_ms is not None:
+            roofline_fraction = roofline(iter_s, traffic)["hbm_fraction"]
 
+    device_str = str(jax.devices()[0])
     vs_baseline = None
-    if args.dense_baseline is None:
-        args.dense_baseline = args.device != "cpu"
+    vs_source = None
     if args.dense_baseline:
         dense_cfg = CRFStereoConfig(
             num_disp=args.labels, niters=args.niters, backend="dense"
         )
-        fnd = jax.jit(lambda l, r: crf_stereo_infer(l, r, dense_cfg)["disparity"])
-        outd = fnd(left, right)
-        jax.block_until_ready(outd)
-        t0 = time.perf_counter()
-        outd = fnd(left, right)
-        jax.block_until_ready(outd)
-        dtd = time.perf_counter() - t0
+        fnd = jax.jit(
+            lambda a, l, r: a + crf_stereo_infer(l, r, dense_cfg)["disparity"].sum()
+        )
+        dtd = chain_timer(lambda a: fnd(a, left, right), reps=3)
         vs_baseline = dtd / dt  # lattice speedup over exact dense oracle
+        vs_source = "dense oracle measured live"
+    else:
+        dense_ms = _suite_dense_ms(device_str)
+        if dense_ms is not None:
+            vs_baseline = (dense_ms / 1e3) / dt
+            vs_source = "dense oracle from committed BENCH_SUITE.json"
 
     print(
         json.dumps(
@@ -190,8 +337,12 @@ def main():
                     "roofline_fraction": (
                         round(roofline_fraction, 4) if roofline_fraction else None
                     ),
-                    "device": str(jax.devices()[0]),
+                    "device": device_str,
                     "niters": args.niters,
+                    "max_vertices": cfg.max_vertices,
+                    "max_pieces": cfg.max_pieces,
+                    "order_by_sum": cfg.order_by_sum,
+                    "vs_baseline_source": vs_source,
                 },
             }
         )
@@ -199,7 +350,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("DET_BENCH_WORKER") == "1" or "--no-supervise" in sys.argv:
+    if os.environ.get("DET_BENCH_CALIB") == "1":
+        sys.exit(_calib_main(_argparser().parse_args()))
+    elif os.environ.get("DET_BENCH_WORKER") == "1" or "--no-supervise" in sys.argv:
         main()
     else:
-        sys.exit(_supervised_main())
+        sys.exit(_supervised_main(_argparser().parse_args()))

@@ -56,6 +56,11 @@ class CRFStereoConfig:
     # quality dial: average k rotation-averaged lattices (k× plan+apply
     # cost, lower anisotropic approximation error). 1 = reference parity.
     num_lattices: int = 1
+    # vertex ordering: True prepends the coord-sum sort column so blur
+    # neighbors stay within `plan.band` slots (enables banded kernels) at
+    # the cost of one extra radix column in every plan sort. False = plain
+    # lexicographic order (cheaper plan build).
+    order_by_sum: bool = True
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -71,7 +76,7 @@ def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax
 
 
 def calibrate_capacity(
-    left, cfg: CRFStereoConfig, headroom: float = 3.0
+    left, cfg: CRFStereoConfig, headroom: float = 3.0, pieces: bool = True
 ) -> CRFStereoConfig:
     """Host-side capacity calibration: measure the lattice occupancy of
     THIS image's guide once and return a config with a tight static
@@ -93,10 +98,12 @@ def calibrate_capacity(
     ref = guide.reshape(-1, guide.shape[-1])
     cap = suggest_capacity(ref, headroom=headroom)
     pack = max(1, 128 // max(cfg.num_disp, 1))
-    pieces = (
-        suggest_pieces(ref, cap, pack=pack, headroom=1.5) if pack > 1 else None
+    max_pieces = (
+        suggest_pieces(ref, cap, pack=pack, headroom=1.5)
+        if (pieces and pack > 1)
+        else None
     )
-    return replace(cfg, max_vertices=cap, max_pieces=pieces)
+    return replace(cfg, max_vertices=cap, max_pieces=max_pieces)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -128,7 +135,8 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         pack = max(1, 128 // max(cfg.num_disp, 1))
         plans = [
             build_plan(ref if m == 0 else ref @ jnp.asarray(R, ref.dtype),
-                       max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack)
+                       max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack,
+                       order_by_sum=cfg.order_by_sum)
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 

@@ -209,9 +209,10 @@ class PermutohedralPlan(NamedTuple):
     sorted_weight: jax.Array  # (N,) — barycentric weight of that entry
     sorted_seg: jax.Array  # (N,) int32 — its slot id (ascending)
     starts: jax.Array  # (C+1,) int32 — CSR boundaries into the sorted entries
-    band: jax.Array  # () int32 — max |neighbor − slot| over real neighbors
-    #                  (small by construction: slots are in (coord-sum, lex)
-    #                  order; gates the banded MXU blur kernel)
+    band: jax.Array  # () int32 — max |neighbor − slot| over real neighbors.
+    #                  Small by construction ONLY when the plan was built
+    #                  with order_by_sum=True ((coord-sum, lex) slot order);
+    #                  plain-lex plans record the realized (large) band.
     # Optional piece-splat tables (None unless built with max_pieces):
     # a PIECE is a maximal run of slot-sorted entries with the same slot
     # and consecutive pixels inside one G-pixel group, G = pack. Splatting
@@ -370,8 +371,8 @@ def build_plan(
     # the most-significant sort column. Blur neighbors change the sum by
     # exactly −1/+1 (axes j<d) or +d/−d (axis d) — see `delta_arr` below —
     # so in (sum, lex) order every neighbor lands within a few sum-slabs
-    # of its vertex. `plan.band` records the realized max |neighbor−slot|;
-    # the banded MXU blur kernel (ops.pallas.lattice_blur) relies on it.
+    # of its vertex. `plan.band` records the realized max |neighbor−slot|
+    # for banded/windowed kernels to consume.
     # Equality groups are unchanged (equal keys ⇒ equal sum), so dedup
     # semantics are identical to the plain lexicographic order.
     # (set order_by_sum=False to skip the extra sort column: plain lex
@@ -426,7 +427,7 @@ def build_plan(
     # scalar gather from an HBM (N,) table runs element-at-a-time; rows
     # amortize it over lanes).
     dk = len(flat_cols)  # columns per key: [coord-sum?, d stored coords]
-    flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, d+1)
+    flat_rows = jnp.stack(flat_cols, axis=-1)  # (N, dk)
     head_entry = order[jnp.minimum(starts, N - 1)]  # (C,)
     # Invalid slots get a sentinel key JUST above the occupied coordinate
     # range (not int32max: the packed 2-sort fast path needs small column
@@ -627,7 +628,9 @@ def suggest_pieces(ref, max_vertices: int, pack: int = 8,
 _LANES = 128
 
 
-def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+def _row_gather(
+    table: jax.Array, idx: jax.Array, packed: bool | None = None
+) -> jax.Array:
     """Gather rows of a (R, L) table at integer indices of any shape.
 
     TPU layouts pad the minor dimension to 128 lanes; re-packing `pack` =
@@ -638,17 +641,23 @@ def _row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
     (slice 6.2→15.3ms) — so only the blur uses this. Exactly equivalent to
     `table[idx]`.
 
-    TPU-only: on the CPU backend the packing buys nothing AND the
-    pad→reshape→gather→one-hot-einsum chain, fused into the surrounding
-    blur graph, triggers an XLA:CPU codegen heap overflow (glibc aborts
-    `corrupted size vs. prev_size` / garbage outputs, ~25% of runs on
-    jaxlib 0.9.0; minimal at /tmp-era repro: plan+splat+packed-blur at
-    (121, 4) f64). Trace-time backend gate: tests and the virtual mesh
-    take the plain-gather path, real TPU keeps the packed layout.
+    TPU-only by default: on the CPU backend the packing buys nothing AND
+    the pad→reshape→gather→one-hot-einsum chain, fused into the
+    surrounding blur graph, triggers an XLA:CPU codegen heap overflow
+    (glibc aborts `corrupted size vs. prev_size` / garbage outputs, ~25%
+    of runs on jaxlib 0.9.0; minimal repro: plan+splat+packed-blur at
+    (121, 4) f64). `packed=None` sniffs the backend at trace time: tests
+    and the virtual mesh take the plain-gather path, real TPU keeps the
+    packed layout. Pass `packed=True/False` to override — CI property-
+    tests the packed form STANDALONE on CPU (the heap bug needs the fused
+    blur graph around it), so the exact arithmetic TPU executes stays
+    covered by the CPU suite.
     """
     R, L = table.shape
     pack = max(1, _LANES // max(L, 1))
-    if pack == 1 or jax.default_backend() == "cpu":
+    if packed is None:
+        packed = jax.default_backend() != "cpu"
+    if pack == 1 or not packed:
         return table[idx]
     G = -(-R // pack)
     padded = jnp.pad(table, ((0, G * pack - R), (0, 0)))
@@ -813,31 +822,15 @@ def apply_plan(
     plan: PermutohedralPlan,
     src: jax.Array,
     reverse: bool = False,
-    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Filter (n, L) values through a prebuilt plan. Linear in `src`.
 
     `reverse=True` applies the transposed filter (blur axes in reverse
     order), used for the ∂src VJP — the splat/slice pair is already
     symmetric (same slots and weights).
-
-    `use_pallas`: route the blur through the fused VMEM-resident Pallas
-    kernel (`ops.pallas.lattice_blur`) when it fits on-chip. Default: the
-    DET_PALLAS_BLUR=1 environment opt-in (the Mosaic gather path is still
-    being qualified on hardware; the XLA path is always correct).
     """
-    import os
-
     vals = _splat(plan, src)
-    if use_pallas is None:
-        use_pallas = os.environ.get("DET_PALLAS_BLUR") == "1"
-    blurred = None
-    if use_pallas:
-        from .pallas.lattice_blur import blur_fused
-
-        blurred = blur_fused(plan, vals, reverse=reverse)
-    if blurred is None:
-        blurred = _blur(plan, vals, reverse)
+    blurred = _blur(plan, vals, reverse)
     return _slice(plan, blurred)
 
 

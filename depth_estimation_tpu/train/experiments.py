@@ -118,8 +118,9 @@ def train_tsukuba_crf(
         weights (goes beyond the reference, which froze its extractor).
       - 'vgg': `VGG16Features` with `guidance_params` (e.g. imported via
         `utils.weights.torch_vgg16_params`), frozen — the reference's
-        protocol exactly. Falls back to an init-seeded VGG when no params
-        are given (random multi-scale projections).
+        protocol exactly. With no params it falls back to an init-seeded
+        VGG (random multi-scale projections) and emits a UserWarning —
+        that mode is NOT the reference's semantic-guidance protocol.
 
     Returns (params, history) with history['loss'] per step and
     before/after masked MSE of the decoded disparity.
@@ -147,6 +148,20 @@ def train_tsukuba_crf(
 
         vgg = VGG16Features()
         if guidance_params is None:
+            # The reference protocol (`crf/features.py:12-22`) uses
+            # torchvision's PRETRAINED VGG16; random-init taps are NOT
+            # semantic guidance and results must not be read as the
+            # reference's. Warn loudly rather than silently substituting.
+            import warnings
+
+            warnings.warn(
+                "guidance='vgg' without guidance_params runs a RANDOM-init "
+                "VGG16 — pass params imported via "
+                "utils.weights.torch_vgg16_params for the reference "
+                "protocol (pretrained weights are not bundled).",
+                UserWarning,
+                stacklevel=2,
+            )
             guidance_params = vgg.init(jax.random.PRNGKey(seed + 1), left_j)
         full = vgg.apply(guidance_params, left_j)
         # project the 960-d tap stack to d_feat with a fixed seeded

@@ -349,3 +349,35 @@ def test_piece_overflow_soft_degrade(rng):
     )
     assert np.isfinite(out).all()
     assert out.sum() < full.sum()  # mass lost, not corrupted
+
+
+@pytest.mark.parametrize("R,L", [(7, 4), (121, 4), (64, 16), (200, 16), (33, 128)])
+def test_row_gather_packed_matches_plain(rng, R, L):
+    """The lane-packed gather (the exact arithmetic real TPUs execute in
+    the blur) must equal a plain row gather. Standalone on CPU: the
+    XLA:CPU heap-corruption repro needed the fused blur graph around it,
+    so isolation is what makes this safely testable here (VERDICT r3 #3)."""
+    from depth_estimation_tpu.ops.permutohedral import _row_gather
+
+    table = jnp.asarray(rng.randn(R, L).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, R, size=(3, 50)).astype(np.int32))
+    plain = jax.jit(partial(_row_gather, packed=False))(table, idx)
+    packed = jax.jit(partial(_row_gather, packed=True))(table, idx)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("max_pieces", [None, 4096])
+def test_order_by_sum_off_matches_default(rng, max_pieces):
+    """order_by_sum=False (plain lex slot order) must produce the same
+    num_valid and the same filter output as the default (sum, lex) order
+    — slot RELABELING only (ADVICE r3)."""
+    n, d, L = 500, 4, 8
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    kw = dict(max_vertices=1024, max_pieces=max_pieces, pack=8)
+    p_sum = jax.jit(partial(build_plan, order_by_sum=True, **kw))(ref)
+    p_lex = jax.jit(partial(build_plan, order_by_sum=False, **kw))(ref)
+    assert int(p_sum.num_valid) == int(p_lex.num_valid)
+    out_sum = np.asarray(jax.jit(apply_plan)(p_sum, src))
+    out_lex = np.asarray(jax.jit(apply_plan)(p_lex, src))
+    np.testing.assert_allclose(out_lex, out_sum, rtol=2e-5, atol=2e-5)

@@ -153,3 +153,23 @@ def test_train_uncertainty_reduces_l1():
         unc_weighted=True,
     )
     assert np.isfinite(hist2["loss"]).all()
+
+
+def test_vgg_guidance_without_params_warns():
+    # guidance='vgg' with no imported weights is NOT the reference
+    # protocol (random-init taps); it must warn loudly (VERDICT r3 #7).
+    import pytest
+
+    rng = np.random.RandomState(1)
+    left, right, disp = make_stereo_pair(rng, h=36, w=48, max_disp=4)
+    with pytest.warns(UserWarning, match="RANDOM-init"):
+        train_tsukuba_crf(
+            left.astype(np.float32),
+            right.astype(np.float32),
+            disp.astype(np.float32) + 1e-3,
+            num_steps=1,
+            num_disp=4,
+            niters=1,
+            d_feat=4,
+            guidance="vgg",
+        )
