@@ -213,13 +213,17 @@ def main():
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
-    for flag, val in (("jax_compilation_cache_dir", "/tmp/det_jax_ccache"),
-                      ("jax_persistent_cache_min_compile_time_secs", 0.0),
-                      ("jax_persistent_cache_min_entry_size_bytes", 0)):
-        try:
-            jax.config.update(flag, val)
-        except Exception:
-            pass  # older jax: cache flags absent — correctness unaffected
+    if args.device != "cpu":
+        # persistent executable cache for TPU worker retries. NOT on CPU:
+        # XLA:CPU AOT entries bake in compile-machine vector features and
+        # reload with a SIGILL warning on mismatch (observed here).
+        for flag, val in (("jax_compilation_cache_dir", "/tmp/det_jax_ccache"),
+                          ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                          ("jax_persistent_cache_min_entry_size_bytes", 0)):
+            try:
+                jax.config.update(flag, val)
+            except Exception:
+                pass  # older jax: cache flags absent — correctness unaffected
     import jax.numpy as jnp  # noqa: F401  (backend init happens lazily)
 
     from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
@@ -254,16 +258,21 @@ def main():
     cfg = replace(cfg, max_vertices=calib["max_vertices"],
                   max_pieces=calib["max_pieces"] if args.pieces else None)
 
-    # Fetch-anchored timing (utils/timing.py): on this relay
-    # `block_until_ready` returns without waiting for the device, so each
-    # timed rep folds its output into a device scalar and only the final
-    # 4-byte fetch synchronizes; differencing cancels the fetch cost.
-    from depth_estimation_tpu.utils.timing import chain_timer
+    # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
+    # `block_until_ready` returns without waiting for the device, so the
+    # reps run as ONE fori_loop chain whose final 4-byte fetch is the only
+    # synchronization; differencing trip counts cancels fetch AND dispatch
+    # overhead — pure device pipeline time.
+    from depth_estimation_tpu.utils.timing import jitter, loop_timer
 
-    fn = jax.jit(
-        lambda a, l, r: a + crf_stereo_infer(l, r, cfg)["disparity"].sum()
-    )
-    dt = chain_timer(lambda a: fn(a, left, right), reps=args.reps)
+    def _pipe_body(c):
+        def body(a):
+            out = crf_stereo_infer(jitter(left, a), right, c)["disparity"]
+            return a + jnp.sum(out, dtype=jnp.float32)
+
+        return body
+
+    dt = loop_timer(_pipe_body(cfg), reps=args.reps)
     iters_per_s = args.niters / dt
 
     # Per-iteration cost + HBM roofline fraction: time the same pipeline at
@@ -275,10 +284,7 @@ def main():
     roofline_fraction = None
     if args.niters > 1:
         cfg1 = replace(cfg, niters=1)
-        fn1 = jax.jit(
-            lambda a, l, r: a + crf_stereo_infer(l, r, cfg1)["disparity"].sum()
-        )
-        dt1 = chain_timer(lambda a: fn1(a, left, right), reps=args.reps)
+        dt1 = loop_timer(_pipe_body(cfg1), reps=args.reps)
         iter_s = max(dt - dt1, 1e-9) / (args.niters - 1)
         iter_ms = iter_s * 1e3
         if iter_ms < 1e-3:  # timing noise swamped the difference
@@ -312,10 +318,7 @@ def main():
         dense_cfg = CRFStereoConfig(
             num_disp=args.labels, niters=args.niters, backend="dense"
         )
-        fnd = jax.jit(
-            lambda a, l, r: a + crf_stereo_infer(l, r, dense_cfg)["disparity"].sum()
-        )
-        dtd = chain_timer(lambda a: fnd(a, left, right), reps=3)
+        dtd = loop_timer(_pipe_body(dense_cfg), reps=3)
         vs_baseline = dtd / dt  # lattice speedup over exact dense oracle
         vs_source = "dense oracle measured live"
     else:

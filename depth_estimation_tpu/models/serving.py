@@ -13,9 +13,6 @@ Usage:
 """
 from __future__ import annotations
 
-from functools import partial
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -66,14 +63,24 @@ class StereoServer:
         return self._fn(left, right)
 
     def throughput(self, left_batch, right_batch, reps: int = 5) -> dict:
-        """Measure frames/s (steady-state, post-compile)."""
-        out = self(left_batch, right_batch)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = self(left_batch, right_batch)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
+        """Measure frames/s (steady-state, post-compile).
+
+        Fetch-anchored (utils/timing.chain_timer): each rep folds its
+        disparities into a device scalar and one final 4-byte fetch
+        synchronizes — `block_until_ready` does not wait on this
+        container's TPU relay, so naive loops time Python dispatch."""
+        from ..utils.timing import chain_timer
+
+        if self._needs_calibration:
+            self(left_batch[:1], right_batch[:1])
+        left = self._shard(jnp.asarray(left_batch, jnp.float32))
+        right = self._shard(jnp.asarray(right_batch, jnp.float32))
+        fn = self._fn
+
+        def step(acc):
+            return acc + jnp.sum(fn(left, right), dtype=jnp.float32)
+
+        dt = chain_timer(step, reps=reps)
         B = np.asarray(left_batch).shape[0]
         return {
             "frames_per_s": B / dt,

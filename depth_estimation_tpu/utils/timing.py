@@ -29,7 +29,7 @@ from __future__ import annotations
 import time
 from typing import Callable
 
-__all__ = ["chain_timer"]
+__all__ = ["chain_timer", "loop_timer", "scalarize", "jitter"]
 
 
 def chain_timer(
@@ -57,6 +57,67 @@ def chain_timer(
         float(acc)  # the only true synchronization point
         return time.perf_counter() - t0
 
+    t1 = run(1)
+    tn = run(reps)
+    return max(tn - t1, 1e-9) / (reps - 1)
+
+
+def scalarize(tree) -> "jax.Array":  # noqa: F821
+    """Fold EVERY numeric leaf of a pytree into one f32 scalar.
+
+    Use as the loop-carried value so no output of the timed computation
+    is dead — XLA dead-code-eliminates anything the final fetch doesn't
+    depend on, which would silently drop whole stages from a per-stage
+    timing program (e.g. the neighbor join, if only the splat tables
+    were consumed)."""
+    import jax
+    import jax.numpy as jnp
+
+    acc = jnp.float32(0.0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        x = jnp.asarray(leaf)
+        if jnp.issubdtype(x.dtype, jnp.bool_):
+            x = x.astype(jnp.int32)
+        acc = acc + jnp.sum(x, dtype=jnp.float32)
+    return acc
+
+
+def jitter(x, acc):
+    """Perturb a float array by 1e-38·acc — numerically a no-op at f32
+    (denormal vanishes in the add) but a REAL data dependency, so a
+    fori_loop body that feeds `jitter(input, acc)` into the timed work
+    cannot be hoisted out of the loop as loop-invariant."""
+    import jax.numpy as jnp
+
+    return x + (acc * 1e-38).astype(x.dtype)
+
+
+def loop_timer(body: Callable, reps: int = 10, min_reps: int = 2) -> float:
+    """Per-rep seconds of `body` (acc f32 scalar → acc f32 scalar), run
+    as an IN-JIT `fori_loop` chain with a traced trip count.
+
+    Unlike `chain_timer` (one dispatch per rep), the whole chain is a
+    single dispatch, so the differenced result
+        (t(reps) − t(1)) / (reps − 1)
+    contains ZERO per-dispatch/relay overhead — pure device execution:
+    the number kernel optimization should target. The body must thread
+    `acc` through the work (`jitter` + `scalarize`) or XLA hoists the
+    loop-invariant computation and every trip count times ONE iteration.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    reps = max(int(reps), min_reps)
+    fn = jax.jit(
+        lambda n, a: jax.lax.fori_loop(0, n, lambda i, aa: body(aa), a)
+    )
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        float(fn(jnp.int32(n), jnp.float32(0.0)))
+        return time.perf_counter() - t0
+
+    run(1)  # compile + warm up (one program: trip count is traced)
     t1 = run(1)
     tn = run(reps)
     return max(tn - t1, 1e-9) / (reps - 1)

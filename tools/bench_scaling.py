@@ -28,7 +28,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -78,16 +77,17 @@ def main():
         left = jax.device_put(left, shard)
         right = jax.device_put(right, shard)
 
+        # fetch-anchored chain (utils/timing.py): block_until_ready does
+        # not wait on this container's TPU relay.
+        from depth_estimation_tpu.utils.timing import chain_timer
+
         fn = jax.jit(
             jax.vmap(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
         )
-        out = fn(left, right)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            out = fn(left, right)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.reps
+        dt = chain_timer(
+            lambda a: a + jnp.sum(fn(left, right), dtype=jnp.float32),
+            reps=args.reps,
+        )
         return B / dt
 
     per = {}

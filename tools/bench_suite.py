@@ -107,15 +107,23 @@ def _argparser():
 
 
 def _timeit(fn, *xs, reps: int):
-    import jax
+    """Per-call seconds of jitted `fn(*xs)` — fetch-anchored in-jit loop
+    (utils/timing.loop_timer): block_until_ready does not wait on this
+    container's TPU relay, so the reps run as one fori_loop chain where
+    the first float input is jittered by the accumulator and all outputs
+    fold into the fetched scalar."""
+    import jax.numpy as jnp
 
-    out = fn(*xs)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*xs)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    from depth_estimation_tpu.utils.timing import jitter, loop_timer, scalarize
+
+    ij = next(i for i, x in enumerate(xs)
+              if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
+
+    def body(a):
+        args = [jitter(x, a) if i == ij else x for i, x in enumerate(xs)]
+        return a + scalarize(fn(*args))
+
+    return loop_timer(body, reps=reps)
 
 
 def _tsukuba(args):
@@ -225,20 +233,28 @@ def run_config(name: str, args) -> dict:
                     @ jnp.arange(L, dtype=jnp.float32)).reshape(h, w)
             return jnp.sum(mask * (disp - gt) ** 2) / jnp.sum(mask)
 
+        # fetch-anchored in-jit chain: params/opt state evolve per step so
+        # the fori body is never loop-invariant; the fetched loss sum
+        # forces the whole chain (block_until_ready is a no-op here).
         @jax.jit
-        def step(p, s):
-            l, g = jax.value_and_grad(loss_fn)(p)
-            up, s = opt.update(g, s)
-            return optax.apply_updates(p, up), s, l
+        def run_steps(n, p, s):
+            def body(i, carry):
+                p, s, acc = carry
+                l, g = jax.value_and_grad(loss_fn)(p)
+                up, s = opt.update(g, s)
+                return optax.apply_updates(p, up), s, acc + l
 
-        out = step(params, state)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        p, s = params, state
-        for _ in range(args.reps):
-            p, s, l = step(p, s)
-        jax.block_until_ready(l)
-        dt = (time.perf_counter() - t0) / args.reps
+            return jax.lax.fori_loop(0, n, body, (p, s, jnp.float32(0.0)))
+
+        def run(n):
+            t0 = time.perf_counter()
+            float(run_steps(jnp.int32(n), params, state)[2])
+            return time.perf_counter() - t0
+
+        run(1)  # compile + warm up
+        t1 = run(1)
+        tn = run(max(args.reps, 2))
+        dt = max(tn - t1, 1e-9) / (max(args.reps, 2) - 1)
         return {"config": name, "metric": "train_step_ms", "value": dt * 1e3,
                 "unit": f"ms fwd+bwd+adam ({h}x{w}, L={L}, lattice VJP)",
                 "device": dev()}

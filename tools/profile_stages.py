@@ -1,12 +1,19 @@
 """Per-stage TPU timing for the flagship CRF pipeline.
 
 Times each lattice stage (embed, plan build, splat, blur, slice, apply,
-full pipeline) as a separately jitted program so optimization work targets
-the measured bottleneck, not the assumed one — the TPU counterpart of the
-reference's embedded stage timers (`crf/lattice/lite/permutohedral.h:313-318`,
+full pipeline) so optimization work targets the measured bottleneck, not
+the assumed one — the TPU counterpart of the reference's embedded stage
+timers (`crf/lattice/lite/permutohedral.h:313-318`,
 `cuda_lattice/permutohedral.cu:506-518`).
 
+Each stage runs as an in-jit fori_loop chain (utils/timing.loop_timer):
+this container's relay does not honor block_until_ready, and the loop
+form also cancels per-dispatch overhead, so these are pure device stage
+times (round 3 discovered standalone dispatches carry ~1.4 ms of relay
+overhead each, which had silently inflated every stage number).
+
 Usage:  python tools/profile_stages.py [--device tpu] [--reps 20]
+        [--pieces {0,1}] [--order-by-sum {0,1}] [--max-vertices C]
 Emits one JSON line with per-stage milliseconds.
 
 Like bench.py, a supervisor re-execs this as a worker with a timeout: the
@@ -19,7 +26,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -52,12 +58,31 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--h", type=int, default=288)
     ap.add_argument("--w", type=int, default=384)
+    ap.add_argument("--max-vertices", type=int, default=None,
+                    help="static capacity (default: 16384 at flagship "
+                         "shape, else measured occupancy x3)")
+    ap.add_argument("--pieces", type=int, default=0, choices=(0, 1))
+    ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1))
+    ap.add_argument("--stages", default=None,
+                    help="comma list to restrict (embed,plan,splat,blur,"
+                         "slice,apply,costvolume,pipeline)")
     args = ap.parse_args()
 
     import jax
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    if args.device != "cpu":
+        # persistent executable cache for TPU worker retries. NOT on CPU:
+        # XLA:CPU AOT entries bake in compile-machine vector features and
+        # reload with a SIGILL warning on mismatch (observed here).
+        for flag, val in (("jax_compilation_cache_dir", "/tmp/det_jax_ccache"),
+                          ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                          ("jax_persistent_cache_min_entry_size_bytes", 0)):
+            try:
+                jax.config.update(flag, val)
+            except Exception:
+                pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -66,6 +91,7 @@ def main():
     from depth_estimation_tpu.models.pipeline import CRFStereoConfig, crf_stereo_infer
     from depth_estimation_tpu.ops import permutohedral as P
     from depth_estimation_tpu.ops.costvolume import cost_volume
+    from depth_estimation_tpu.utils.timing import jitter, loop_timer, scalarize
 
     h, w, L = args.h, args.w, args.labels
     tsu = TsukubaPair()
@@ -78,56 +104,54 @@ def main():
         left = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
         right = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
 
-    cfg0 = CRFStereoConfig(num_disp=L, niters=5, backend="lattice")
+    cfg0 = CRFStereoConfig(num_disp=L, niters=5, backend="lattice",
+                           order_by_sum=bool(args.order_by_sum))
     ref = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos).reshape(h * w, -1)
-    cap = P.suggest_capacity(ref, headroom=3.0)
+    if args.max_vertices:
+        cap = args.max_vertices
+    elif (h, w) == (288, 384):
+        cap = 16384  # measured flagship occupancy ~4.7k, x3 headroom, pow2
+    else:
+        cap = P.suggest_capacity(ref, headroom=3.0)
 
     from dataclasses import replace
-    cfg = replace(cfg0, max_vertices=cap)
+    pack = max(1, 128 // max(L, 1))
+    max_pieces = None
+    if args.pieces:
+        max_pieces = P.suggest_pieces(ref, cap, pack=pack, headroom=1.5)
+    cfg = replace(cfg0, max_vertices=cap, max_pieces=max_pieces)
 
-    def timeit(fn, *xs, reps=args.reps):
-        out = fn(*xs)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*xs)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps * 1e3
+    results = {"device": str(jax.devices()[0]), "capacity": int(cap),
+               "max_pieces": max_pieces,
+               "order_by_sum": bool(args.order_by_sum)}
 
-    results = {"device": str(jax.devices()[0]), "capacity": int(cap)}
+    def timeit(body):
+        return loop_timer(body, reps=args.reps) * 1e3
 
-    # stages
-    embed = jax.jit(lambda r: P._simplex_embed_cols(r))
-    results["embed_ms"] = timeit(embed, ref)
-
-    build = jax.jit(lambda r: P.build_plan(r, max_vertices=cap))
-    results["plan_build_ms"] = timeit(build, ref)
-
-    plan = build(ref)
-    jax.block_until_ready(plan)
+    bp = lambda r: P.build_plan(r, max_vertices=cap, max_pieces=max_pieces,
+                                pack=pack, order_by_sum=bool(args.order_by_sum))
+    plan = jax.jit(bp)(ref)
     src = jnp.asarray(np.random.RandomState(1).rand(h * w, L), jnp.float32)
+    vals = jax.jit(P._splat)(plan, src)
+    blurred = jax.jit(lambda p, v: P._blur(p, v, False))(plan, vals)
 
-    splat = jax.jit(P._splat)
-    results["splat_ms"] = timeit(splat, plan, src)
-
-    vals = splat(plan, src)
-    jax.block_until_ready(vals)
-    blur = jax.jit(lambda p, v: P._blur(p, v, False))
-    results["blur_ms"] = timeit(blur, plan, vals)
-
-    blurred = blur(plan, vals)
-    jax.block_until_ready(blurred)
-    slc = jax.jit(P._slice)
-    results["slice_ms"] = timeit(slc, plan, blurred)
-
-    apply_fn = jax.jit(lambda p, s: P.apply_plan(p, s))
-    results["apply_ms"] = timeit(apply_fn, plan, src)
-
-    cv = jax.jit(lambda l, r: cost_volume(l, r, L, cfg.window_size))
-    results["costvolume_ms"] = timeit(cv, left, right)
-
-    pipe = jax.jit(lambda l, r: crf_stereo_infer(l, r, cfg)["disparity"])
-    results["pipeline_ms"] = timeit(pipe, left, right)
+    want = set(args.stages.split(",")) if args.stages else None
+    stages = {
+        "embed": lambda a: a + scalarize(P._simplex_embed_cols(jitter(ref, a))),
+        "plan": lambda a: a + scalarize(bp(jitter(ref, a))),
+        "splat": lambda a: a + scalarize(P._splat(plan, jitter(src, a))),
+        "blur": lambda a: a + scalarize(P._blur(plan, jitter(vals, a), False)),
+        "slice": lambda a: a + scalarize(P._slice(plan, jitter(blurred, a))),
+        "apply": lambda a: a + scalarize(P.apply_plan(plan, jitter(src, a))),
+        "costvolume": lambda a: a + scalarize(
+            cost_volume(jitter(left, a), right, L, cfg.window_size)),
+        "pipeline": lambda a: a + scalarize(
+            crf_stereo_infer(jitter(left, a), right, cfg)["disparity"]),
+    }
+    for name, body in stages.items():
+        if want is not None and name not in want:
+            continue
+        results[f"{name}_ms"] = timeit(body)
 
     for k, v in results.items():
         if isinstance(v, float):
