@@ -23,8 +23,10 @@ def main(argv=None):
     ap.add_argument("--items", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--holdout", type=int, default=0,
-                    help="evaluate on N held-out shapes items")
+    ap.add_argument("--holdout", type=int, default=2,
+                    help="evaluate on N held-out items (0 = in-domain "
+                         "training-set eval; default ON — the reference's "
+                         "train/val protocol)")
     ap.add_argument("--keypoints", action="store_true",
                     help="train the keypoint branch too (shapes only)")
     ap.add_argument("--coco-root", default=None)
@@ -44,6 +46,7 @@ def main(argv=None):
         params, hist = train_detection_coco(
             args.coco_root, args.coco_ann, num_steps=args.steps,
             size=args.size, lr=args.lr, max_items=args.items or None,
+            holdout=args.holdout,
         )
     else:
         params, hist = train_detection_shapes(

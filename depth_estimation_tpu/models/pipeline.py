@@ -76,7 +76,7 @@ def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax
 
 
 def calibrate_capacity(
-    left, cfg: CRFStereoConfig, headroom: float = 3.0, pieces: bool = True
+    left, cfg: CRFStereoConfig, headroom: float = 3.0, pieces: bool = False
 ) -> CRFStereoConfig:
     """Host-side capacity calibration: measure the lattice occupancy of
     THIS image's guide once and return a config with a tight static
@@ -87,6 +87,11 @@ def calibrate_capacity(
     blur working set for every mean-field iteration. Serving and bench
     paths call this once per stream/config; shapes stay static so the
     jitted pipeline is compiled once per calibrated capacity.
+
+    `pieces` defaults OFF: the full-lane piece splat measured SLOWER on
+    real TPU v5e (round-4 A/B: 6.53 vs 4.76 ms/iter, 52 vs 37 ms
+    pipeline at flagship) — the 2.4× row-count saving does not survive
+    the 512 B-row gather cost plus the per-piece weight contraction.
     """
     from dataclasses import replace
 

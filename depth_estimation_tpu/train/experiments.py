@@ -392,11 +392,17 @@ def train_detection_coco(
     max_items: int | None = None,
     seed: int = 0,
     model_kwargs: dict | None = None,
+    holdout: int = 0,
 ):
     """Train the detection family on a COCO-format dataset
     (`samples/coco/coco.py` train protocol + `lib/datasets/json_dataset.py`
     loading, without pycocotools): images resized to a static (size, size),
     GT padded to max_gt, single jitted step reused across the epoch.
+
+    `holdout > 0` reserves the LAST N dataset items for evaluation only —
+    history['map50'] then reports held-out mAP (the reference's train/val
+    protocol, `samples/coco/coco.py:342-398`); with holdout=0 it is
+    in-domain training-set mAP and must be read as such.
 
     Returns (params, history) with history['loss'] and history['map50'].
     """
@@ -404,11 +410,19 @@ def train_detection_coco(
 
     ds = COCODetection(root, ann_file, max_items=max_items)
     items = [ds.padded(i, size=size, max_gt=max_gt) for i in range(len(ds))]
+    eval_items = None
+    if holdout:
+        if holdout >= len(items):
+            raise ValueError(
+                f"holdout={holdout} needs at least {holdout + 1} items, "
+                f"dataset has {len(items)}"
+            )
+        items, eval_items = items[:-holdout], items[-holdout:]
     kwargs = dict(num_proposals=64, num_detections=16)
     kwargs.update(model_kwargs or {})
     return train_detection_items(
         items, ds.num_classes, num_steps=num_steps, lr=lr, seed=seed,
-        model_kwargs=kwargs,
+        model_kwargs=kwargs, eval_items=eval_items,
     )
 
 
