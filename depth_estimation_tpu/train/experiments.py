@@ -215,6 +215,9 @@ def train_detection_items(
     with_keypoints: bool = False,
     loss_breakdown: bool = False,
     eval_items=None,
+    init_params=None,
+    grad_clip: float | None = None,
+    freeze_backbone: bool = False,
 ):
     """Core single-device detection train loop over fixed-shape items.
 
@@ -252,7 +255,32 @@ def train_detection_items(
     key = jax.random.PRNGKey(seed)
     img0 = jnp.asarray(items[0]["image"], jnp.float32)
     params = model.init(key, img0, train=True)
-    opt = optax.adam(lr)
+    if init_params is not None:
+        # fine-tune entry: caller supplies a full params tree (e.g. a
+        # fresh init with `utils.weights.graft_backbone`-imported body —
+        # the reference's load-weights → train flow, mrcnn/model.py:2103)
+        params = init_params
+    # the reference trainer clips gradients before every step
+    # (`lib/utils/net_utils.py` clip_gradient, train_net_step.py) —
+    # essential when fine-tuning an imported body whose folded BN scales
+    # make early RPN/ROI regression gradients large
+    opt = (
+        optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
+        if grad_clip
+        else optax.adam(lr)
+    )
+    if freeze_backbone:
+        # the reference's layers='heads' training phase (`mrcnn/model.py:
+        # 2284-2385` layer-regex freezing): imported body stays fixed,
+        # FPN/RPN/heads train.
+        def _lbl(path, _):
+            frozen = any(getattr(k, "key", None) == "ResNet_0" for k in path)
+            return "frozen" if frozen else "train"
+
+        labels = jax.tree_util.tree_map_with_path(_lbl, params)
+        opt = optax.multi_transform(
+            {"frozen": optax.set_to_zero(), "train": opt}, labels
+        )
     opt_state = opt.init(params)
 
     def item_arrays(item):
