@@ -46,7 +46,9 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 TOTAL_BUDGET_S = 660  # worst-case wall clock for the worker retry loop
-ATTEMPT_TIMEOUT_S = 330
+# first attempt gets a cold-compile window; retries run against the warm
+# persistent executable cache and only need init + execute
+ATTEMPT_TIMEOUTS_S = (300, 180)
 
 
 def _argparser():
@@ -64,6 +66,9 @@ def _argparser():
                          "entry-wise splat — the round-2 validated config)")
     ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1),
                     help="prepend the coord-sum radix column to plan sorts")
+    ap.add_argument("--tiled", type=int, default=0, choices=(0, 1),
+                    help="tiled MXU splat/slice (32px image blocks, dense "
+                         "per-tile incidence matmuls)")
     ap.add_argument("--dense-baseline", action="store_true",
                     help="measure the dense O(n²) oracle live for "
                          "vs_baseline (extra TPU compile); default reads "
@@ -75,7 +80,7 @@ def _argparser():
 
 def _calib_key(args) -> str:
     raw = json.dumps([args.h, args.w, args.labels, args.headroom,
-                      bool(args.pieces)], sort_keys=True)
+                      bool(args.pieces), bool(args.tiled)], sort_keys=True)
     return hashlib.md5(raw.encode()).hexdigest()[:16]
 
 
@@ -111,8 +116,9 @@ def _calibrate(args) -> dict:
     cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters,
                           backend="lattice")
     cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
-                             pieces=bool(args.pieces))
-    return {"max_vertices": cfg.max_vertices, "max_pieces": cfg.max_pieces}
+                             pieces=bool(args.pieces), tiled=bool(args.tiled))
+    return {"max_vertices": cfg.max_vertices, "max_pieces": cfg.max_pieces,
+            "tile_px": cfg.tile_px, "tile_u": cfg.tile_u}
 
 
 def _calib_main(args) -> int:
@@ -167,11 +173,13 @@ def _supervised_main(args) -> int:
             print(f"bench: budget exhausted after {attempt - 1} attempts",
                   file=sys.stderr)
             return 1
+        att_timeout = ATTEMPT_TIMEOUTS_S[min(attempt - 1,
+                                             len(ATTEMPT_TIMEOUTS_S) - 1)]
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
                 env=env,
-                timeout=min(ATTEMPT_TIMEOUT_S, remaining),
+                timeout=min(att_timeout, remaining),
                 capture_output=True,
                 text=True,
             )
@@ -250,13 +258,17 @@ def main():
             from depth_estimation_tpu.models.pipeline import calibrate_capacity
 
             cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
-                                     pieces=bool(args.pieces))
+                                     pieces=bool(args.pieces),
+                                     tiled=bool(args.tiled))
             calib = {"max_vertices": cfg.max_vertices,
-                     "max_pieces": cfg.max_pieces}
+                     "max_pieces": cfg.max_pieces,
+                     "tile_px": cfg.tile_px, "tile_u": cfg.tile_u}
     from dataclasses import replace
 
     cfg = replace(cfg, max_vertices=calib["max_vertices"],
-                  max_pieces=calib["max_pieces"] if args.pieces else None)
+                  max_pieces=calib["max_pieces"] if args.pieces else None,
+                  tile_px=calib.get("tile_px") if args.tiled else None,
+                  tile_u=calib.get("tile_u") or 512)
 
     # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
     # `block_until_ready` returns without waiting for the device, so the
@@ -345,6 +357,8 @@ def main():
                     "max_vertices": cfg.max_vertices,
                     "max_pieces": cfg.max_pieces,
                     "order_by_sum": cfg.order_by_sum,
+                    "tile_px": cfg.tile_px,
+                    "tile_u": cfg.tile_u if cfg.tile_px else None,
                     "vs_baseline_source": vs_source,
                 },
             }

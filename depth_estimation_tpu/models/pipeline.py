@@ -58,9 +58,18 @@ class CRFStereoConfig:
     num_lattices: int = 1
     # vertex ordering: True prepends the coord-sum sort column so blur
     # neighbors stay within `plan.band` slots (enables banded kernels) at
-    # the cost of one extra radix column in every plan sort. False = plain
-    # lexicographic order (cheaper plan build).
-    order_by_sum: bool = True
+    # the cost of one extra radix column in every plan sort. Default False
+    # (plain lexicographic order): no in-tree kernel consumes the band and
+    # the extra sorts measured ~4 ms of flagship plan build (ROADMAP r4).
+    order_by_sum: bool = False
+    # tiled MXU splat/slice: pixels grouped into tile_px × tile_px image
+    # blocks whose ≤ tile_u local vertices get dense incidence blocks —
+    # batched matmuls replace the transaction-bound gathers (ROADMAP r4).
+    # None disables; requires h, w divisible by tile_px. Set via
+    # `calibrate_capacity(tiled=True)` which sizes tile_u from measured
+    # per-tile occupancy.
+    tile_px: int | None = None
+    tile_u: int = 512
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -76,7 +85,13 @@ def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax
 
 
 def calibrate_capacity(
-    left, cfg: CRFStereoConfig, headroom: float = 3.0, pieces: bool = False
+    left,
+    cfg: CRFStereoConfig,
+    headroom: float = 3.0,
+    pieces: bool = False,
+    tiled: bool = False,
+    tile_px: int = 32,
+    max_incidence_bytes: int = 1 << 30,
 ) -> CRFStereoConfig:
     """Host-side capacity calibration: measure the lattice occupancy of
     THIS image's guide once and return a config with a tight static
@@ -92,14 +107,22 @@ def calibrate_capacity(
     real TPU v5e (round-4 A/B: 6.53 vs 4.76 ms/iter, 52 vs 37 ms
     pipeline at flagship) — the 2.4× row-count saving does not survive
     the 512 B-row gather cost plus the per-piece weight contraction.
+
+    `tiled`: also size the tiled MXU splat/slice (tile_px × tile_px
+    image blocks; per-tile vertex capacity from measured per-tile
+    occupancy). Skipped when the image doesn't divide into blocks or the
+    dense incidence tables would exceed `max_incidence_bytes`.
     """
     from dataclasses import replace
 
-    from ..ops.permutohedral import suggest_capacity, suggest_pieces
+    from ..ops.permutohedral import (suggest_capacity, suggest_pieces,
+                                     suggest_tile_u)
 
     if cfg.backend != "lattice":
         return cfg
-    guide = stack_guide(jnp.asarray(left, jnp.float32), cfg.sigma_color, cfg.sigma_pos)
+    left = jnp.asarray(left, jnp.float32)
+    h, w, _ = left.shape
+    guide = stack_guide(left, cfg.sigma_color, cfg.sigma_pos)
     ref = guide.reshape(-1, guide.shape[-1])
     cap = suggest_capacity(ref, headroom=headroom)
     pack = max(1, 128 // max(cfg.num_disp, 1))
@@ -108,7 +131,18 @@ def calibrate_capacity(
         if (pieces and pack > 1)
         else None
     )
-    return replace(cfg, max_vertices=cap, max_pieces=max_pieces)
+    tile_kw = {}
+    if tiled and h % tile_px == 0 and w % tile_px == 0:
+        B = tile_px
+        ref_blocked = (
+            guide.reshape(h // B, B, w // B, B, guide.shape[-1])
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h * w, guide.shape[-1])
+        )
+        tu = suggest_tile_u(ref_blocked, B * B, cap)
+        if h * w * tu * 4 <= max_incidence_bytes:
+            tile_kw = {"tile_px": B, "tile_u": tu}
+    return replace(cfg, max_vertices=cap, max_pieces=max_pieces, **tile_kw)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -127,8 +161,41 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     Mu = Mu * cfg.mu_scale
 
     guide = stack_guide(left, cfg.sigma_color, cfg.sigma_pos)
-    ref = guide.reshape(h * w, -1)
-    E0_flat = E0.reshape(h * w, cfg.num_disp)
+
+    # tiled mode flattens pixels in tile_px × tile_px BLOCK order so the
+    # plan's consecutive-pixel tiles are square image patches (small
+    # per-tile vertex sets). Elementwise/mean-field math is order-
+    # agnostic; only the final reshape undoes the permutation.
+    B = cfg.tile_px
+    tiled = (
+        cfg.backend == "lattice"
+        and B is not None
+        and h % B == 0
+        and w % B == 0
+    )
+
+    def _blocked(x):  # (h, w, K) -> (h·w, K) in block order
+        K = x.shape[-1]
+        return (
+            x.reshape(h // B, B, w // B, B, K)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h * w, K)
+        )
+
+    def _unblocked(flat):  # inverse of _blocked, to (h, w, K)
+        K = flat.shape[-1]
+        return (
+            flat.reshape(h // B, w // B, B, B, K)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h, w, K)
+        )
+
+    if tiled:
+        ref = _blocked(guide)
+        E0_flat = _blocked(E0)
+    else:
+        ref = guide.reshape(h * w, -1)
+        E0_flat = E0.reshape(h * w, cfg.num_disp)
 
     if cfg.backend == "lattice":
         cap = cfg.max_vertices
@@ -141,7 +208,8 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         plans = [
             build_plan(ref if m == 0 else ref @ jnp.asarray(R, ref.dtype),
                        max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack,
-                       order_by_sum=cfg.order_by_sum)
+                       order_by_sum=cfg.order_by_sum,
+                       tile=B * B if tiled else None, tile_u=cfg.tile_u)
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 
@@ -154,11 +222,17 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         raise ValueError(cfg.backend)
 
     Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters)
-    disp_crf = expected_disparity(jnp.log(Q + 1e-20)).reshape(h, w)
+    logits = jnp.log(Q + 1e-20)
+    if tiled:
+        Qimg = _unblocked(Q)
+        disp_crf = expected_disparity(_unblocked(logits))
+    else:
+        Qimg = Q.reshape(h, w, cfg.num_disp)
+        disp_crf = expected_disparity(logits).reshape(h, w)
     disp_unary = expected_disparity(-E0)
     return {
         "disparity": disp_crf,
         "disparity_unary": disp_unary,
-        "probabilities": Q.reshape(h, w, cfg.num_disp),
+        "probabilities": Qimg,
         "unary": E0,
     }

@@ -64,6 +64,7 @@ __all__ = [
     "count_vertices",
     "suggest_capacity",
     "suggest_pieces",
+    "suggest_tile_u",
 ]
 
 
@@ -222,6 +223,24 @@ class PermutohedralPlan(NamedTuple):
     piece_weights: jax.Array | None = None  # (T_P, G) — weights by offset
     piece_starts: jax.Array | None = None  # (C+1,) int32 — CSR over slots
     num_pieces: jax.Array | None = None  # () int32 — realized piece count
+    # Optional tiled incidence tables (None unless built with tile=P):
+    # pixels are grouped into T = n/P tiles of P CONSECUTIVE flat pixels;
+    # per tile, the ≤ tile_u distinct vertices its entries touch get
+    # local ids, and the barycentric weights land in a DENSE (P, tile_u)
+    # incidence block. Splat and slice then run as batched MXU matmuls
+    # against ~55k gathered/scattered vertex rows instead of n·(d+1)
+    # random 64 B row transactions — the round-4 answer to the measured
+    # transaction-bound splat/slice (ROADMAP.md). Callers that want 2-D
+    # locality pass block-reordered pixels (models/pipeline.py does).
+    tile_A: jax.Array | None = None  # (T, P, U) — dense barycentric blocks
+    tile_vid: jax.Array | None = None  # (T, U) int32 — global slot per local
+    #                                     id (C = padding/absent)
+    partial_order: jax.Array | None = None  # (T·U,) int32 — flat partial
+    #                                     index in global-slot-sorted order
+    partial_starts: jax.Array | None = None  # (C+1,) int32 — CSR into the
+    #                                     slot-sorted partials
+    tile_overflow: jax.Array | None = None  # () int32 — entries dropped
+    #                                     because a tile exceeded tile_u
 
     @property
     def d(self) -> int:
@@ -325,6 +344,8 @@ def build_plan(
     max_pieces: int | None = None,
     pack: int = 8,
     order_by_sum: bool = True,
+    tile: int | None = None,
+    tile_u: int = 512,
 ) -> PermutohedralPlan:
     """Build the lattice plan from (n, d) reference features. Pure int32.
 
@@ -354,6 +375,14 @@ def build_plan(
         skips construction and `apply` splats entry-wise.
       pack: pixels per packed row G for the piece tables (the splat uses
         them only when G·L ≤ 128, i.e. full-lane rows).
+      tile: pixels per incidence tile P — enables the tiled MXU
+        splat/slice tables (see PermutohedralPlan.tile_A). Requires
+        n % P == 0; callers wanting 2-D locality pre-order pixels in
+        image blocks. None (default) skips construction.
+      tile_u: static per-tile vertex capacity U. Entries in tiles that
+        touch more than U distinct vertices are DROPPED (mass loss,
+        recorded in plan.tile_overflow) — size from measured per-tile
+        occupancy (flagship 32×32 blocks: max 376, mean 139 → 512 safe).
 
     Layout note: every intermediate is either 1-D of length N/C/T or a
     small list of such columns — never an (N, d) array — so the TPU's
@@ -549,6 +578,98 @@ def build_plan(
             jnp.minimum, piece_starts, reverse=True
         )
 
+    tile_A = tile_vid = partial_order = partial_starts = tile_overflow = None
+    if tile is not None:
+        # --- 5) tiled incidence tables: per-tile dense barycentric blocks
+        # so splat/slice run as batched MXU matmuls (round-4 redesign of
+        # the transaction-bound gathers — see PermutohedralPlan docs).
+        P, U = int(tile), int(tile_u)
+        if n % P != 0:
+            raise ValueError(f"tile={P} must divide n={n}")
+        T = n // P
+        G_cap = T * U
+        # group entries by (tile, slot) with one stable sort; group = one
+        # distinct vertex within one tile
+        slot_pm = slot.reshape(N)  # pixel-major entries: e = i·(d+1)+r
+        t_pix = (jnp.arange(n, dtype=jnp.int32) // P)
+        gkey = (
+            jnp.repeat(t_pix, d + 1) * jnp.int32(C + 1) + slot_pm
+        )  # (N,)
+        sorted_gkey, sorted_eid = jax.lax.sort(
+            (gkey, jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True
+        )
+        ghead = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_gkey[1:] != sorted_gkey[:-1]]
+        )
+        g = (jnp.cumsum(ghead) - 1).astype(jnp.int32)  # (N,) group index
+        iota_g = jnp.arange(G_cap, dtype=jnp.int32)
+        # group records (capped at G_cap; beyond-cap groups soft-drop)
+        g_at_head = jnp.where(ghead, g, G_cap)
+        group_key = (
+            jnp.full((G_cap,), (T + 1) * (C + 1), jnp.int32)
+            .at[g_at_head]
+            .min(sorted_gkey, mode="drop")
+        )
+        group_tile = group_key // (C + 1)
+        group_slot = jnp.minimum(group_key % (C + 1), C)
+        # first group index of each tile (tiny (T+1,) table)
+        tile_start = (
+            jnp.full((T + 1,), G_cap, jnp.int32)
+            .at[jnp.minimum(group_tile, T)]
+            .min(iota_g, mode="drop")
+        )
+        tile_start = jax.lax.associative_scan(
+            jnp.minimum, tile_start, reverse=True
+        )
+        u_of_group = iota_g - tile_start[jnp.minimum(group_tile, T)]
+        ok_group = (u_of_group >= 0) & (u_of_group < U) & (group_tile < T)
+        # per-entry local id, back in pixel-major entry order
+        tile_sorted = sorted_gkey // (C + 1)  # (N,) tile of sorted entry
+        u_sorted = g - tile_start[jnp.minimum(tile_sorted, T)]
+        ok_sorted = (u_sorted >= 0) & (u_sorted < U) & (tile_sorted < T)
+        tile_overflow = jnp.sum(~ok_sorted).astype(jnp.int32)
+        u_pm = (
+            jnp.zeros((N,), jnp.int32)
+            .at[sorted_eid]
+            .set(jnp.where(ok_sorted, u_sorted, U), unique_indices=True)
+        )
+        # dense incidence blocks: scatter bary at (pixel, local id); the
+        # U overflow column collects dropped mass and is discarded
+        bary_pm = bary_t.T.reshape(N)  # (n, d+1) pixel-major flat
+        flat_idx = (
+            jnp.repeat(jnp.arange(n, dtype=jnp.int32), d + 1) * (U + 1) + u_pm
+        )
+        A_flat = (
+            jnp.zeros((n * (U + 1),), bary_pm.dtype)
+            .at[flat_idx]
+            .add(bary_pm, mode="drop")
+        )
+        tile_A = A_flat.reshape(n, U + 1)[:, :U].reshape(T, P, U)
+        # (T, U) global slot per local id; C = padding
+        vid_flat = (
+            jnp.full((T * U,), C, jnp.int32)
+            .at[jnp.where(ok_group, group_tile * U + u_of_group, T * U)]
+            .set(group_slot, mode="drop", unique_indices=True)
+        )
+        tile_vid = vid_flat.reshape(T, U)
+        # partials (flat index t·U+u) in global-slot-sorted order + CSR
+        sorted_vid, partial_order = jax.lax.sort(
+            (vid_flat, jnp.arange(T * U, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        vhead = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
+        )
+        partial_starts = (
+            jnp.full((C + 1,), T * U, jnp.int32)
+            .at[jnp.where(vhead, sorted_vid, C + 1)]
+            .min(jnp.arange(T * U, dtype=jnp.int32), mode="drop")
+        )
+        partial_starts = jax.lax.associative_scan(
+            jnp.minimum, partial_starts, reverse=True
+        )
+
     return PermutohedralPlan(
         slot=slot,
         bary=bary_t.T,
@@ -563,6 +684,11 @@ def build_plan(
         piece_weights=piece_weights,
         piece_starts=piece_starts,
         num_pieces=num_pieces,
+        tile_A=tile_A,
+        tile_vid=tile_vid,
+        partial_order=partial_order,
+        partial_starts=partial_starts,
+        tile_overflow=tile_overflow,
     )
 
 
@@ -602,6 +728,25 @@ def suggest_capacity(ref, headroom: float = 2.0) -> int:
     occ = int(count_vertices(jnp.asarray(ref)))
     want = max(int(occ * headroom), 64)
     return 1 << (want - 1).bit_length()
+
+
+def suggest_tile_u(ref, tile: int, max_vertices: int,
+                   headroom: float = 1.33) -> int:
+    """Host-side per-tile vertex capacity suggestion for the tiled MXU
+    splat/slice: headroom·(max distinct vertices in any tile of `tile`
+    consecutive pixels), rounded up to a multiple of 128 (full MXU/lane
+    blocks), capped at the tile·(d+1) worst case. Builds one throwaway
+    plan (calibration-time only; callers cache)."""
+    ref = jnp.asarray(ref)
+    n, d = ref.shape
+    plan = jax.jit(partial(build_plan, max_vertices=max_vertices))(ref)
+    slot = np.asarray(plan.slot)  # (n, d+1)
+    T = n // tile
+    umax = max(
+        len(np.unique(slot[t * tile : (t + 1) * tile])) for t in range(T)
+    )
+    want = min(int(np.ceil(umax * headroom)), tile * (d + 1))
+    return -(-want // 128) * 128
 
 
 def suggest_pieces(ref, max_vertices: int, pack: int = 8,
@@ -772,6 +917,19 @@ def _splat(plan: PermutohedralPlan, src: jax.Array) -> jax.Array:
     """
     n, L = src.shape
     acc = jnp.promote_types(src.dtype, jnp.float32)
+    if plan.tile_A is not None:
+        # tiled MXU form: per-tile dense incidence matmul → ≤ T·U partial
+        # vertex rows → slot-sorted CSR reduce. Replaces the n·(d+1)
+        # random 64 B-row src gather with sequential reads + matmuls.
+        T, P, U = plan.tile_A.shape
+        partials = jnp.einsum(
+            "tpu,tpl->tul",
+            plan.tile_A,
+            src.reshape(T, P, L),
+            preferred_element_type=acc,
+        ).reshape(T * U, L)
+        contrib = partials[plan.partial_order].astype(acc)
+        return _boundary_reduce(contrib, plan.partial_starts, src.dtype)
     pw = plan.piece_weights
     if pw is not None and pw.shape[1] * L <= _LANES:
         T_P, G = pw.shape
@@ -810,6 +968,17 @@ def _slice(plan: PermutohedralPlan, vals: jax.Array) -> jax.Array:
     """Gather vertex values back to pixels with barycentric weights, scaled
     by the 1/(1+2^-d) constant (`permutohedral.h:480`)."""
     d = plan.d
+    if plan.tile_A is not None:
+        # tiled MXU form (exact transpose structure of the tiled splat):
+        # one U-row gather per tile + a dense (P, U) @ (U, L) matmul.
+        T, P, U = plan.tile_A.shape
+        L = vals.shape[1]
+        V = vals[plan.tile_vid]  # (T, U, L); padding rows hit the zero row
+        out = jnp.einsum(
+            "tpu,tul->tpl", plan.tile_A, V,
+            preferred_element_type=jnp.promote_types(vals.dtype, jnp.float32),
+        )
+        return out.reshape(T * P, L).astype(vals.dtype) / (1.0 + 2.0 ** (-d))
     # accumulate corner-by-corner: 6 fused gather+axpy passes instead of
     # materializing the (n, d+1, L) gathered tensor
     out = plan.bary[:, 0, None] * vals[plan.slot[:, 0]]
@@ -903,6 +1072,15 @@ def _planned_bwd(res, g):
         else np.zeros(plan.piece_starts.shape, f0),
         num_pieces=None if plan.num_pieces is None
         else np.zeros(plan.num_pieces.shape, f0),
+        tile_A=None if plan.tile_A is None else jnp.zeros_like(plan.tile_A),
+        tile_vid=None if plan.tile_vid is None
+        else np.zeros(plan.tile_vid.shape, f0),
+        partial_order=None if plan.partial_order is None
+        else np.zeros(plan.partial_order.shape, f0),
+        partial_starts=None if plan.partial_starts is None
+        else np.zeros(plan.partial_starts.shape, f0),
+        tile_overflow=None if plan.tile_overflow is None
+        else np.zeros(plan.tile_overflow.shape, f0),
     )
     return grad_src, grad_ref, plan_cot
 

@@ -381,3 +381,82 @@ def test_order_by_sum_off_matches_default(rng, max_pieces):
     out_sum = np.asarray(jax.jit(apply_plan)(p_sum, src))
     out_lex = np.asarray(jax.jit(apply_plan)(p_lex, src))
     np.testing.assert_allclose(out_lex, out_sum, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,P,U", [(512, 64, 320), (384, 128, 640)])
+def test_tiled_incidence_matches_entry_splat(rng, n, P, U):
+    """The tiled MXU splat/slice (dense per-tile incidence matmuls) must
+    reproduce the entry-wise path exactly (same math, reassociated)."""
+    from depth_estimation_tpu.ops.permutohedral import _slice, _splat
+
+    d, L = 4, 8
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    plain = jax.jit(partial(build_plan, max_vertices=1024))(ref)
+    tiled = jax.jit(
+        partial(build_plan, max_vertices=1024, tile=P, tile_u=U)
+    )(ref)
+    assert int(tiled.tile_overflow) == 0
+    # splat equivalence
+    # f32 reassociation through the MXU matmuls: tolerance 5e-4 relative
+    v_plain = np.asarray(jax.jit(_splat)(plain, src))
+    v_tiled = np.asarray(jax.jit(_splat)(tiled, src))
+    np.testing.assert_allclose(v_tiled, v_plain, rtol=5e-4, atol=5e-5)
+    # slice equivalence
+    vals = jnp.asarray(rng.randn(1025, L).astype(np.float32))
+    vals = vals.at[-1].set(0.0)
+    s_plain = np.asarray(jax.jit(_slice)(plain, vals))
+    s_tiled = np.asarray(jax.jit(_slice)(tiled, vals))
+    np.testing.assert_allclose(s_tiled, s_plain, rtol=5e-4, atol=5e-5)
+    # full filter + transpose
+    o_plain = np.asarray(jax.jit(apply_plan)(plain, src))
+    o_tiled = np.asarray(jax.jit(apply_plan)(tiled, src))
+    np.testing.assert_allclose(o_tiled, o_plain, rtol=5e-4, atol=5e-5)
+    t_plain = np.asarray(jax.jit(partial(apply_plan, reverse=True))(plain, src))
+    t_tiled = np.asarray(jax.jit(partial(apply_plan, reverse=True))(tiled, src))
+    np.testing.assert_allclose(t_tiled, t_plain, rtol=5e-4, atol=5e-5)
+
+
+def test_tiled_overflow_soft_degrade(rng):
+    """Tiles over their vertex capacity drop entries (mass loss), visible
+    via plan.tile_overflow — never corruption."""
+    from depth_estimation_tpu.ops.permutohedral import _splat
+
+    n, d, L = 256, 4, 8
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))  # noise: dense
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    tiny = jax.jit(
+        partial(build_plan, max_vertices=2048, tile=64, tile_u=16)
+    )(ref)
+    assert int(tiny.tile_overflow) > 0
+    out = np.asarray(_splat(tiny, src))
+    full = np.asarray(
+        _splat(jax.jit(partial(build_plan, max_vertices=2048))(ref), src)
+    )
+    assert np.isfinite(out).all()
+    assert out.sum() < full.sum()
+
+
+def test_tiled_grads_match_entry(rng):
+    """src/ref gradients through the tiled plan equal the entry-path
+    gradients (the custom VJP reuses the same apply for both)."""
+    from depth_estimation_tpu.ops.permutohedral import lattice_filter_planned
+
+    n, d, L = 256, 3, 4
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    plain = jax.jit(partial(build_plan, max_vertices=1024))(ref)
+    tiled = jax.jit(
+        partial(build_plan, max_vertices=1024, tile=64, tile_u=128)
+    )(ref)
+
+    def loss(s, r, plan):
+        return (lattice_filter_planned(s, r, plan) ** 2).sum()
+
+    g_p = jax.jit(jax.grad(loss, argnums=(0, 1)))(src, ref, plain)
+    g_t = jax.jit(jax.grad(loss, argnums=(0, 1)))(src, ref, tiled)
+    for a, b in zip(g_t, g_p):
+        b = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=5e-3, atol=1e-5 * max(np.abs(b).max(), 1.0)
+        )
