@@ -66,9 +66,9 @@ def _argparser():
                          "entry-wise splat — the round-2 validated config)")
     ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1),
                     help="prepend the coord-sum radix column to plan sorts")
-    ap.add_argument("--tiled", type=int, default=0, choices=(0, 1),
+    ap.add_argument("--tiled", type=int, default=0, choices=(0, 1, 2),
                     help="tiled MXU splat/slice (32px image blocks, dense "
-                         "per-tile incidence matmuls)")
+                         "per-tile incidence matmuls); 2 = bfloat16 blocks")
     ap.add_argument("--dense-baseline", action="store_true",
                     help="measure the dense O(n²) oracle live for "
                          "vs_baseline (extra TPU compile); default reads "
@@ -268,7 +268,8 @@ def main():
     cfg = replace(cfg, max_vertices=calib["max_vertices"],
                   max_pieces=calib["max_pieces"] if args.pieces else None,
                   tile_px=calib.get("tile_px") if args.tiled else None,
-                  tile_u=calib.get("tile_u") or 512)
+                  tile_u=calib.get("tile_u") or 512,
+                  tile_bf16=args.tiled == 2)
 
     # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
     # `block_until_ready` returns without waiting for the device, so the

@@ -70,6 +70,7 @@ class CRFStereoConfig:
     # per-tile occupancy.
     tile_px: int | None = None
     tile_u: int = 512
+    tile_bf16: bool = False
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -209,7 +210,8 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
             build_plan(ref if m == 0 else ref @ jnp.asarray(R, ref.dtype),
                        max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack,
                        order_by_sum=cfg.order_by_sum,
-                       tile=B * B if tiled else None, tile_u=cfg.tile_u)
+                       tile=B * B if tiled else None, tile_u=cfg.tile_u,
+                       tile_bf16=cfg.tile_bf16)
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 
