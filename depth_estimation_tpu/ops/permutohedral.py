@@ -633,25 +633,29 @@ def build_plan(
         u_sorted = g - tile_start[jnp.minimum(tile_sorted, T)]
         ok_sorted = (u_sorted >= 0) & (u_sorted < U) & (tile_sorted < T)
         tile_overflow = jnp.sum(~ok_sorted).astype(jnp.int32)
-        u_pm = (
-            jnp.zeros((N,), jnp.int32)
-            .at[sorted_eid]
-            .set(jnp.where(ok_sorted, u_sorted, U), unique_indices=True)
+        # local ids back in pixel-major entry order: sorting by the entry
+        # id (a permutation) inverts the (tile, slot) sort — one more
+        # near-bandwidth stable sort instead of an element-at-a-time
+        # (N,) scatter (measured: scatters of this shape dominated the
+        # tiled plan build on TPU; U = overflow marker rides as payload)
+        _, u_entry = jax.lax.sort(
+            (sorted_eid, jnp.where(ok_sorted, u_sorted, U)),
+            num_keys=1,
+            is_stable=True,
         )
-        # dense incidence blocks: scatter bary at (pixel, local id); the
-        # U overflow column collects dropped mass and is discarded
-        bary_pm = bary_t.T.reshape(N)  # (n, d+1) pixel-major flat
-        flat_idx = (
-            jnp.repeat(jnp.arange(n, dtype=jnp.int32), d + 1) * (U + 1) + u_pm
-        )
-        A_flat = (
-            jnp.zeros((n * (U + 1),), bary_pm.dtype)
-            .at[flat_idx]
-            .add(bary_pm, mode="drop")
-        )
-        tile_A = A_flat.reshape(n, U + 1)[:, :U].reshape(T, P, U)
-        if tile_bf16:
-            tile_A = tile_A.astype(jnp.bfloat16)
+        u_pm = u_entry.reshape(n, d + 1)
+        # dense incidence blocks, built as d+1 fused compare-FMA passes
+        # over the (n, U) output — XLA fuses the sum into ONE data pass
+        # (compare iota vs local id, multiply-add bary); no scatter at
+        # all. Overflow entries (u == U) never match a column.
+        bary_pm = bary_t.T  # (n, d+1)
+        iota_u = jnp.arange(U, dtype=jnp.int32)
+        a_dtype = jnp.bfloat16 if tile_bf16 else bary_pm.dtype
+        A2 = jnp.zeros((n, U), a_dtype)
+        for r in range(d + 1):
+            hit = (u_pm[:, r, None] == iota_u[None, :]).astype(a_dtype)
+            A2 = A2 + bary_pm[:, r, None].astype(a_dtype) * hit
+        tile_A = A2.reshape(T, P, U)
         # (T, U) global slot per local id; C = padding
         vid_flat = (
             jnp.full((T * U,), C, jnp.int32)
