@@ -429,11 +429,11 @@ def build_plan(
     seg_capped = jnp.minimum(seg, C)
     iota_n = jnp.arange(N, dtype=jnp.int32)
 
-    # inverse permutation by scatter (destinations are a permutation —
-    # unique by construction; replaces a full extra stable sort)
-    inv_seg = jnp.zeros((N,), jnp.int32).at[order].set(
-        seg_capped, unique_indices=True
-    )
+    # inverse permutation by one more stable sort keyed on the entry id
+    # (round-4 measurement: an (N,) ELEMENT scatter runs element-at-a-time
+    # on TPU — the round-3 "scatter replaces a sort" change was a
+    # regression; sorts are near-bandwidth)
+    _, inv_seg = jax.lax.sort((order, seg_capped), num_keys=1, is_stable=True)
     slot = inv_seg.reshape(d + 1, n).T  # (n, d+1)
 
     # --- 2) CSR entry layout (already sorted by seg) ---------------------
@@ -441,15 +441,20 @@ def build_plan(
 
     # --- 3) unique keys + blur neighbors -----------------------------------
     iota_c1 = jnp.arange(C + 1, dtype=jnp.int32)
-    # CSR boundaries: starts[c] = first sorted position of slot c. One
-    # scatter-min of the head positions + a backward min-scan (restores
-    # searchsorted's ascending contract at slots with no head: empty
-    # slots inherit the NEXT occupied slot's start, so their segments are
-    # empty) replaces C+1 binary-search rounds over the N entries.
+    # CSR boundaries: starts[c] = first sorted position of slot c. Sort-
+    # compact the head positions (each occupied slot has exactly ONE head,
+    # so the first C+1 sorted records cover every slot) then scatter the
+    # SMALL (C+1,) result + a backward min-scan (restores searchsorted's
+    # ascending contract at slots with no head: empty slots inherit the
+    # NEXT occupied slot's start, so their segments are empty). An (N,)
+    # element scatter-min here ran element-at-a-time on TPU (round-4).
+    k_start = jnp.where(is_head, seg_capped, jnp.int32(C + 1))
+    sk, spos = jax.lax.sort((k_start, iota_n), num_keys=1, is_stable=True)
+    m_s = min(C + 1, N)
     starts_full = (
         jnp.full((C + 1,), N, jnp.int32)
-        .at[jnp.where(is_head, seg_capped, C + 1)]
-        .min(iota_n, mode="drop")
+        .at[sk[:m_s]]
+        .min(spos[:m_s], mode="drop")
     )
     starts_full = jax.lax.associative_scan(jnp.minimum, starts_full, reverse=True)
     iota_c = iota_c1[:C]
@@ -608,20 +613,37 @@ def build_plan(
         )
         g = (jnp.cumsum(ghead) - 1).astype(jnp.int32)  # (N,) group index
         iota_g = jnp.arange(G_cap, dtype=jnp.int32)
-        # group records (capped at G_cap; beyond-cap groups soft-drop)
-        g_at_head = jnp.where(ghead, g, G_cap)
-        group_key = (
-            jnp.full((G_cap,), (T + 1) * (C + 1), jnp.int32)
-            .at[g_at_head]
-            .min(sorted_gkey, mode="drop")
+        # group records via sort-compaction — no (N,) element scatter
+        # (element-at-a-time on TPU): heads carry unique ascending group
+        # ids, so after sorting on [g | G_cap-pad] position g holds group
+        # g's key. Beyond-cap groups soft-drop.
+        key_sentinel = jnp.int32((T + 1) * (C + 1))
+        _, gkey_comp = jax.lax.sort(
+            (jnp.where(ghead, g, N), sorted_gkey), num_keys=1, is_stable=True
+        )
+        if G_cap > N:
+            gkey_comp = jnp.pad(gkey_comp, (0, G_cap - N))
+        group_key = jnp.where(
+            iota_g < jnp.minimum(g[-1] + 1, G_cap),
+            gkey_comp[:G_cap],
+            key_sentinel,
         )
         group_tile = group_key // (C + 1)
         group_slot = jnp.minimum(group_key % (C + 1), C)
-        # first group index of each tile (tiny (T+1,) table)
+        # first group index of each tile: group_tile is ascending, so
+        # compact the tile-heads and scatter the SMALL (T+1,) result
+        thead = jnp.concatenate(
+            [jnp.ones((1,), bool), group_tile[1:] != group_tile[:-1]]
+        )
+        tk, tpos = jax.lax.sort(
+            (jnp.where(thead, jnp.minimum(group_tile, T), T + 1), iota_g),
+            num_keys=1,
+            is_stable=True,
+        )
         tile_start = (
             jnp.full((T + 1,), G_cap, jnp.int32)
-            .at[jnp.minimum(group_tile, T)]
-            .min(iota_g, mode="drop")
+            .at[tk[: T + 1]]
+            .min(tpos[: T + 1], mode="drop")
         )
         tile_start = jax.lax.associative_scan(
             jnp.minimum, tile_start, reverse=True
@@ -656,13 +678,21 @@ def build_plan(
             hit = (u_pm[:, r, None] == iota_u[None, :]).astype(a_dtype)
             A2 = A2 + bary_pm[:, r, None].astype(a_dtype) * hit
         tile_A = A2.reshape(T, P, U)
-        # (T, U) global slot per local id; C = padding
-        vid_flat = (
-            jnp.full((T * U,), C, jnp.int32)
-            .at[jnp.where(ok_group, group_tile * U + u_of_group, T * U)]
-            .set(group_slot, mode="drop", unique_indices=True)
+        # (T, U) global slot per local id: tile t's groups occupy the
+        # CONTIGUOUS range [tile_start[t], tile_start[t+1]) of the group
+        # list, so one dynamic slice per tile reads its local table — a
+        # blocked gather, not a (T·U,) element scatter
+        group_slot_pad = jnp.concatenate(
+            [group_slot, jnp.full((U,), C, jnp.int32)]
         )
-        tile_vid = vid_flat.reshape(T, U)
+        vid2 = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(group_slot_pad, (s,), (U,))
+        )(tile_start[:T])
+        ucount = (tile_start[1:] - tile_start[:-1])[:, None]  # (T, 1)
+        tile_vid = jnp.where(
+            jnp.arange(U, dtype=jnp.int32)[None, :] < ucount, vid2, C
+        )
+        vid_flat = tile_vid.reshape(T * U)
         # partials (flat index t·U+u) in global-slot-sorted order + CSR
         sorted_vid, partial_order = jax.lax.sort(
             (vid_flat, jnp.arange(T * U, dtype=jnp.int32)),
@@ -672,10 +702,21 @@ def build_plan(
         vhead = jnp.concatenate(
             [jnp.ones((1,), bool), sorted_vid[1:] != sorted_vid[:-1]]
         )
+        # CSR via the same sort-compaction as `starts_full` (one head per
+        # distinct vid → first C+1 sorted records cover every slot)
+        vk, vpos = jax.lax.sort(
+            (
+                jnp.where(vhead, sorted_vid, jnp.int32(C + 1)),
+                jnp.arange(T * U, dtype=jnp.int32),
+            ),
+            num_keys=1,
+            is_stable=True,
+        )
+        m = min(C + 1, T * U)
         partial_starts = (
             jnp.full((C + 1,), T * U, jnp.int32)
-            .at[jnp.where(vhead, sorted_vid, C + 1)]
-            .min(jnp.arange(T * U, dtype=jnp.int32), mode="drop")
+            .at[vk[:m]]
+            .min(vpos[:m], mode="drop")
         )
         partial_starts = jax.lax.associative_scan(
             jnp.minimum, partial_starts, reverse=True
