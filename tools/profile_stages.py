@@ -63,6 +63,8 @@ def main():
                          "shape, else measured occupancy x3)")
     ap.add_argument("--pieces", type=int, default=0, choices=(0, 1))
     ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1))
+    ap.add_argument("--tiled", type=int, default=0, choices=(0, 1, 2),
+                    help="tiled MXU splat/slice; 2 = bfloat16 blocks")
     ap.add_argument("--stages", default=None,
                     help="comma list to restrict (embed,plan,splat,blur,"
                          "slice,apply,costvolume,pipeline)")
@@ -104,9 +106,18 @@ def main():
         left = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
         right = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
 
+    tile_kw = {}
+    if args.tiled:
+        tile_kw = dict(tile_px=32, tile_u=512, tile_bf16=args.tiled == 2)
     cfg0 = CRFStereoConfig(num_disp=L, niters=5, backend="lattice",
-                           order_by_sum=bool(args.order_by_sum))
-    ref = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos).reshape(h * w, -1)
+                           order_by_sum=bool(args.order_by_sum), **tile_kw)
+    guide_img = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos)
+    if args.tiled:
+        B = 32
+        ref = (guide_img.reshape(h // B, B, w // B, B, guide_img.shape[-1])
+               .transpose(0, 2, 1, 3, 4).reshape(h * w, guide_img.shape[-1]))
+    else:
+        ref = guide_img.reshape(h * w, -1)
     if args.max_vertices:
         cap = args.max_vertices
     elif (h, w) == (288, 384):
@@ -122,14 +133,16 @@ def main():
     cfg = replace(cfg0, max_vertices=cap, max_pieces=max_pieces)
 
     results = {"device": str(jax.devices()[0]), "capacity": int(cap),
-               "max_pieces": max_pieces,
+               "max_pieces": max_pieces, "tiled": args.tiled,
                "order_by_sum": bool(args.order_by_sum)}
 
     def timeit(body):
         return loop_timer(body, reps=args.reps) * 1e3
 
     bp = lambda r: P.build_plan(r, max_vertices=cap, max_pieces=max_pieces,
-                                pack=pack, order_by_sum=bool(args.order_by_sum))
+                                pack=pack, order_by_sum=bool(args.order_by_sum),
+                                tile=32 * 32 if args.tiled else None,
+                                tile_u=512, tile_bf16=args.tiled == 2)
     plan = jax.jit(bp)(ref)
     src = jnp.asarray(np.random.RandomState(1).rand(h * w, L), jnp.float32)
     vals = jax.jit(P._splat)(plan, src)
