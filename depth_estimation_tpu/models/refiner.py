@@ -73,12 +73,20 @@ def crf_rnn_apply(
     confidence: jax.Array | None = None,
     labels: jax.Array | None = None,
     subsample: int = 2,
+    max_vertices: int | None = None,
 ) -> jax.Array:
     """Refined logits (h, w, L) ← mean-field with trainable Mu and W.
 
     guide: (h, w, c) reference features. For the 'lattice' backend the
     guide is rescaled by the trainable [s_ij, s_rgb] and positions are
     appended; the lattice plan is built once and reused over iterations.
+
+    max_vertices: static lattice capacity. Default pow2 ≥ 2n — SAFE for
+    arbitrary trainable guide scales but ~16× over a natural image's
+    measured occupancy, and the blur working set scales with it (round-4:
+    the flagship fwd+bwd train step dropped 891 → ~? ms with a measured
+    cap). Calibrate with `ops.permutohedral.suggest_capacity` on the
+    scaled guide and leave growth headroom for the scales to train.
     """
     h, w, L = logits.shape
     compat_fn = lambda Q: charb_apply(params["mu"], Q, labels)
@@ -87,7 +95,9 @@ def crf_rnn_apply(
         message_fn = lambda Q: guided_adjacency_apply(params["w"], Q, guide, r, subsample)
     elif backend == "lattice":
         ref = ijrgb_guide(params["w"], guide).reshape(h * w, -1)
-        cap = min(1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1))
+        cap = max_vertices or min(
+            1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1)
+        )
         plan = build_plan(jax.lax.stop_gradient(ref), max_vertices=cap)
 
         def message_fn(Q):

@@ -226,9 +226,19 @@ def run_config(name: str, args) -> dict:
         opt = optax.adam(3e-2)
         state = opt.init(params)
 
+        # calibrated lattice capacity with generous (8x) headroom: the
+        # trainable guide scales move occupancy during training, but the
+        # pow2 >= 2n safe default is ~16x a natural image's occupancy and
+        # the blur working set scales with it (r4: 891 ms/step at 262144)
+        from depth_estimation_tpu.crf.guides import stack_guide as _sg
+        from depth_estimation_tpu.ops.permutohedral import suggest_capacity
+
+        cap = suggest_capacity(
+            _sg(left, 0.1, 0.1).reshape(-1, 5), headroom=8.0)
+
         def loss_fn(p):
             logits = crf_rnn_apply(p, left, -E0, niters=cfg.niters,
-                                   backend="lattice")
+                                   backend="lattice", max_vertices=cap)
             disp = (jax.nn.softmax(logits, -1)
                     @ jnp.arange(L, dtype=jnp.float32)).reshape(h, w)
             return jnp.sum(mask * (disp - gt) ** 2) / jnp.sum(mask)
