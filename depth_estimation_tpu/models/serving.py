@@ -73,7 +73,7 @@ class StereoServer:
         if self._needs_calibration:
             from ..models.pipeline import calibrate_capacity
 
-            self.cfg = calibrate_capacity(left[0], self.cfg)
+            self.cfg = calibrate_capacity(left[0], self.cfg, tiled=True)
             self._make_fn()
             self._needs_calibration = False
         left = self._shard(left)

@@ -72,8 +72,16 @@ def _supervised(argv) -> int:
         else:
             results[name] = {"error": "worker failed"}
     if "--no-write" not in argv:
-        with open(os.path.join(ROOT, "BENCH_SUITE.json"), "w") as f:
-            json.dump(results, f, indent=1)
+        path = os.path.join(ROOT, "BENCH_SUITE.json")
+        merged = {}
+        try:
+            with open(path) as f:
+                merged = json.load(f)  # partial runs refresh, not clobber
+        except (OSError, ValueError):
+            pass
+        merged.update(results)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
     return 0 if all("error" not in r for r in results.values()) else 1
 
 
