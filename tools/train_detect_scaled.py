@@ -85,12 +85,28 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--grad-clip", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default="cpu",
+                    help="'cpu' (no relay) or 'tpu'/'' for the default "
+                         "axon backend — detection steps are ~100x faster "
+                         "on chip; the compile rides the wedge-retry of "
+                         "the caller")
+    ap.add_argument("--save", default=None,
+                    help="write final params (flax msgpack) here")
     ap.add_argument("--out", default=os.path.join(ROOT, "DETECT_SCALED.json"))
     args = ap.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # 2-core host run; no relay
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # no relay dial
+    else:
+        for flag, val in (("jax_compilation_cache_dir", "/tmp/det_jax_ccache"),
+                          ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                          ("jax_persistent_cache_min_entry_size_bytes", 0)):
+            try:
+                jax.config.update(flag, val)
+            except Exception:
+                pass
     import jax.numpy as jnp
 
     from depth_estimation_tpu.data.shapes import NUM_CLASSES, ShapesDetection
@@ -158,9 +174,15 @@ def main(argv=None):
         "final_loss_parts": {k: round(v, 4)
                              for k, v in hist["parts"][-1].items()},
         "wall_s": round(wall, 1),
+        "device": args.device or "default",
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
+    if args.save:
+        import flax.serialization as ser
+
+        with open(args.save, "wb") as f:
+            f.write(ser.to_bytes(params))
     print(json.dumps(result))
     return 0
 
