@@ -98,6 +98,9 @@ def main():
     eff = {
         str(c): round(per[str(c)] / (base * c), 4) for c in counts
     }
+    import multiprocessing
+
+    phys = multiprocessing.cpu_count()
     result = {
         "metric": "scaling_frames_per_s",
         "unit": f"frames/s ({h}x{w}px, L={L}, lattice CRF, "
@@ -105,6 +108,13 @@ def main():
         "device": str(jax.devices()[0]),
         "frames_per_s": per,
         "efficiency_vs_linear": eff,
+        "note": (
+            f"virtual devices share {phys} physical host cores — on this "
+            "container the sweep validates the SPMD harness (sharded "
+            "program compiles + runs at every device count), not hardware "
+            "scaling; efficiency is compute-bound by the core count"
+        ) if "TFRT_CPU" in str(jax.devices()[0]) and len(jax.devices()) > phys
+        else None,
     }
     line = json.dumps(result)
     print(line)
