@@ -19,7 +19,8 @@ CRF). This suite covers the remaining BASELINE configs end-to-end:
                        the virtual mesh by tests/test_sharding.py — no
                        multi-chip hardware in this container).
   5. serving_batched — StereoServer frames/s, batch of 8 Tsukuba-scale
-                       frames through one vmapped program.
+                       frames (loop batch mode: dispatch-pipelined
+                       single-frame programs; 'vmap' for sharded batches).
 
 Usage: python tools/bench_suite.py [--device cpu] [--configs 1,2,5]
 Emits one JSON line per config (and writes BENCH_SUITE.json at the repo
@@ -304,7 +305,7 @@ def run_config(name: str, args) -> dict:
         return {"config": name, "metric": "frames_per_s",
                 "value": stats["frames_per_s"],
                 "unit": f"frames/s/chip (B={B}, {left.shape[0]}x{left.shape[1]}, "
-                        "L=16, one vmapped program)",
+                        f"L=16, {server.batch_mode} batch mode)",
                 "device": dev()}
 
     raise SystemExit(f"unknown config {name!r}")
