@@ -92,6 +92,9 @@ def main(argv=None):
                          "the caller")
     ap.add_argument("--save", default=None,
                     help="write final params (flax msgpack) here")
+    ap.add_argument("--resume", default=None,
+                    help="continue training from a saved params msgpack "
+                         "(skips the graft + heads-frozen phase)")
     ap.add_argument("--out", default=os.path.join(ROOT, "DETECT_SCALED.json"))
     args = ap.parse_args(argv)
 
@@ -140,21 +143,35 @@ def main(argv=None):
     # Two-phase schedule — the reference's staged protocol
     # (`samples/coco/coco.py` trains layers='heads' then fine-tunes;
     # `mrcnn/model.py:2284-2385`): heads on the frozen imported body
-    # first, then all layers at lower LR.
+    # first, then all layers at lower LR. --resume skips straight to the
+    # all-layers phase from a saved checkpoint.
     t0 = time.time()
-    heads_steps = args.steps // 2
-    params, hist1 = train_detection_items(
-        items, NUM_CLASSES, num_steps=heads_steps, lr=args.lr,
-        seed=args.seed, model_kwargs=model_kwargs, eval_items=eval_items,
-        init_params=grafted, loss_breakdown=True, grad_clip=args.grad_clip,
-        freeze_backbone=True,
-    )
-    params, hist = train_detection_items(
-        items, NUM_CLASSES, num_steps=args.steps - heads_steps,
-        lr=args.lr / 3, seed=args.seed, model_kwargs=model_kwargs,
-        eval_items=eval_items, init_params=params, loss_breakdown=True,
-        grad_clip=args.grad_clip,
-    )
+    if args.resume:
+        import flax.serialization as ser
+
+        with open(args.resume, "rb") as f:
+            start = ser.from_bytes(grafted, f.read())
+        hist1 = {"loss": []}
+        params, hist = train_detection_items(
+            items, NUM_CLASSES, num_steps=args.steps, lr=args.lr / 3,
+            seed=args.seed + 1, model_kwargs=model_kwargs,
+            eval_items=eval_items, init_params=start, loss_breakdown=True,
+            grad_clip=args.grad_clip,
+        )
+    else:
+        heads_steps = args.steps // 2
+        params, hist1 = train_detection_items(
+            items, NUM_CLASSES, num_steps=heads_steps, lr=args.lr,
+            seed=args.seed, model_kwargs=model_kwargs, eval_items=eval_items,
+            init_params=grafted, loss_breakdown=True, grad_clip=args.grad_clip,
+            freeze_backbone=True,
+        )
+        params, hist = train_detection_items(
+            items, NUM_CLASSES, num_steps=args.steps - heads_steps,
+            lr=args.lr / 3, seed=args.seed, model_kwargs=model_kwargs,
+            eval_items=eval_items, init_params=params, loss_breakdown=True,
+            grad_clip=args.grad_clip,
+        )
     wall = time.time() - t0
 
     losses = hist1["loss"] + hist["loss"]
@@ -175,6 +192,7 @@ def main(argv=None):
                              for k, v in hist["parts"][-1].items()},
         "wall_s": round(wall, 1),
         "device": args.device or "default",
+        "resumed_from": args.resume,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
