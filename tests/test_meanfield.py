@@ -85,3 +85,24 @@ def test_compatibility_matrix_charbonnier():
     assert Mu.shape == (4, 4)
     assert np.allclose(np.diag(Mu), 0.0)
     assert Mu[0, 3] > Mu[0, 1] > 0
+
+
+def test_calibrate_capacity_tiled_sets_and_guards():
+    """calibrate_capacity(tiled=True) sizes tile_u from measured per-tile
+    occupancy when the image divides into blocks, and skips tiling when
+    it doesn't."""
+    import numpy as np
+
+    from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
+                                                      calibrate_capacity)
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 96, 3).astype(np.float32)
+    cfg = calibrate_capacity(
+        img, CRFStereoConfig(num_disp=8), tiled=True, tile_px=32
+    )
+    assert cfg.tile_px == 32 and cfg.tile_u % 128 == 0
+    odd = calibrate_capacity(
+        img[:50], CRFStereoConfig(num_disp=8), tiled=True, tile_px=32
+    )
+    assert odd.tile_px is None  # 50 % 32 != 0 -> tiling skipped

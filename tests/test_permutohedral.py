@@ -460,3 +460,16 @@ def test_tiled_grads_match_entry(rng):
         np.testing.assert_allclose(
             np.asarray(a), b, rtol=5e-3, atol=1e-5 * max(np.abs(b).max(), 1.0)
         )
+
+
+def test_suggest_tile_u_covers_worst_tile(rng):
+    from depth_estimation_tpu.ops.permutohedral import suggest_tile_u
+
+    n, d = 512, 3
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    tu = suggest_tile_u(ref, tile=64, max_vertices=1024)
+    assert tu % 128 == 0
+    plan = jax.jit(
+        partial(build_plan, max_vertices=1024, tile=64, tile_u=tu)
+    )(ref)
+    assert int(plan.tile_overflow) == 0  # headroom covers the worst tile
