@@ -71,14 +71,23 @@ def rpn_losses(
     labels, matched = match_anchors(anchors, gt_boxes, gt_valid)
     pos = labels == 1
     neg = labels == 0
-    used = pos | neg
     tgt = (labels == 1).astype(rpn_logits.dtype)
     bce = (
         jnp.maximum(rpn_logits, 0)
         - rpn_logits * tgt
         + jnp.log1p(jnp.exp(-jnp.abs(rpn_logits)))
     )
-    cls_loss = (bce * used).sum() / jnp.maximum(used.sum(), 1)
+    # CLASS-BALANCED objectness: the reference SAMPLES 256 anchors at up
+    # to 1:1 pos:neg (`mrcnn/model.py` build_rpn_targets RPN_TRAIN_ANCHORS
+    # _PER_IMAGE, Detectron RPN_BATCH_SIZE/FG_FRACTION); with a plain
+    # mean over every anchor the ~few positives carry ~1/3000 of the
+    # gradient and objectness never fires (round-4: trained RPN logits
+    # topped out at -0.4 on anchors sitting ON the object — detections
+    # were all background). Per-group means weighted 1:1 are the
+    # static-shape XLA equivalent of the reference's balanced sampling.
+    cls_loss = 0.5 * (bce * pos).sum() / jnp.maximum(pos.sum(), 1) + 0.5 * (
+        bce * neg
+    ).sum() / jnp.maximum(neg.sum(), 1)
 
     reg_tgt = encode_boxes(anchors, gt_boxes[matched])
     reg = smooth_l1(rpn_deltas - reg_tgt).sum(-1)
@@ -106,7 +115,12 @@ def roi_losses(
 
     logp = jax.nn.log_softmax(cls_scores, axis=-1)
     ce = -jnp.take_along_axis(logp, tgt_cls[:, None], axis=1)[:, 0]
-    cls_loss = (ce * prop_valid).sum() / jnp.maximum(prop_valid.sum(), 1)
+    # fg/bg-balanced CE at the reference's FG_FRACTION=0.25 mix
+    # (Detectron ROI BATCH_SIZE sampling; same rationale as rpn_losses)
+    bg = prop_valid & ~fg
+    cls_loss = 0.25 * (ce * fg).sum() / jnp.maximum(fg.sum(), 1) + 0.75 * (
+        ce * bg
+    ).sum() / jnp.maximum(bg.sum(), 1)
 
     reg_tgt = encode_boxes(proposals, gt_boxes[best_gt])
     deltas_at_cls = jnp.take_along_axis(
