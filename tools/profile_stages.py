@@ -148,8 +148,29 @@ def main():
     vals = jax.jit(P._splat)(plan, src)
     blurred = jax.jit(lambda p, v: P._blur(p, v, False))(plan, vals)
 
+    # one mean-field update in isolation (what iter_ms differencing
+    # measures) and its elementwise-only skeleton (softmax + Mu matmul +
+    # energy update with the filter replaced by identity) — their gap is
+    # the true in-loop filter cost, their absolute values expose scan/
+    # fusion overheads that per-stage timings miss.
+    from depth_estimation_tpu.crf.compat import charbonnier2, compatibility_matrix
+
+    labels_arr = jnp.arange(L, dtype=jnp.float32)
+    Mu = compatibility_matrix(
+        lambda a, b: charbonnier2(a, b, cfg.gamma), labels_arr)
+    E0f = jnp.asarray(
+        np.random.RandomState(2).rand(h * w, L), jnp.float32) * 10.0
+    Q0 = jax.nn.softmax(-E0f, axis=-1)
+
+    def _update(a, filt):
+        Qj = jitter(Q0, a)
+        msg = filt(Qj @ Mu)
+        return a + scalarize(jax.nn.softmax(-(E0f + msg - Qj @ Mu), axis=-1))
+
     want = set(args.stages.split(",")) if args.stages else None
     stages = {
+        "update": lambda a: _update(a, lambda x: P.apply_plan(plan, x)),
+        "elemwise": lambda a: _update(a, lambda x: x),
         "embed": lambda a: a + scalarize(P._simplex_embed_cols(jitter(ref, a))),
         "plan": lambda a: a + scalarize(bp(jitter(ref, a))),
         "splat": lambda a: a + scalarize(P._splat(plan, jitter(src, a))),
