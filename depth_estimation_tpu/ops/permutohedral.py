@@ -853,7 +853,13 @@ def _row_gather(
     R, L = table.shape
     pack = max(1, _LANES // max(L, 1))
     if packed is None:
-        packed = jax.default_backend() != "cpu"
+        import os
+
+        env = os.environ.get("DET_ROW_GATHER_PACKED")
+        if env in ("0", "1"):  # A/B override (see ROADMAP r4: the packed
+            packed = env == "1"  # win was measured on far larger tables)
+        else:
+            packed = jax.default_backend() != "cpu"
     if pack == 1 or not packed:
         return table[idx]
     G = -(-R // pack)
