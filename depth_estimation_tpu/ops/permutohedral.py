@@ -856,10 +856,15 @@ def _row_gather(
         import os
 
         env = os.environ.get("DET_ROW_GATHER_PACKED")
-        if env in ("0", "1"):  # A/B override (see ROADMAP r4: the packed
-            packed = env == "1"  # win was measured on far larger tables)
+        if env in ("0", "1"):  # A/B override
+            packed = env == "1"
         else:
-            packed = jax.default_backend() != "cpu"
+            # packing pays only for LARGE tables (the r1 win was measured
+            # at safe-default capacities); at calibrated flagship size
+            # (16k rows) the plain gather measured faster on TPU v5e
+            # (blur 0.434 → 0.280 ms, round 4) — the pad/reshape/one-hot
+            # select overhead outweighs the lane utilization gain.
+            packed = jax.default_backend() != "cpu" and R >= 65536
     if pack == 1 or not packed:
         return table[idx]
     G = -(-R // pack)
