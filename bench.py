@@ -70,6 +70,15 @@ def _argparser():
                     help="tiled MXU splat/slice (32px image blocks, dense "
                          "per-tile incidence matmuls); 2 = bfloat16 blocks "
                          "(default — r4 A/B: 175.4 iters/s vs 167.1 entry)")
+    ap.add_argument("--unroll", type=int, default=1, choices=(0, 1),
+                    help="unroll mean-field iterations instead of lax.scan "
+                         "(default 1 — the scanned loop measured ~0.7 "
+                         "ms/iter of scheduling overhead, round-4/5)")
+    ap.add_argument("--sort-mode", default=None,
+                    help="override the calibrated plan sort strategy "
+                         "(auto|packed1|packed2|lex)")
+    ap.add_argument("--tile-px", type=int, default=32,
+                    help="tiled MXU image-block edge in pixels")
     ap.add_argument("--dense-baseline", action="store_true",
                     help="measure the dense O(n²) oracle live for "
                          "vs_baseline (extra TPU compile); default reads "
@@ -81,7 +90,8 @@ def _argparser():
 
 def _calib_key(args) -> str:
     raw = json.dumps([args.h, args.w, args.labels, args.headroom,
-                      bool(args.pieces), bool(args.tiled)], sort_keys=True)
+                      bool(args.pieces), bool(args.tiled), args.tile_px],
+                     sort_keys=True)
     return hashlib.md5(raw.encode()).hexdigest()[:16]
 
 
@@ -117,9 +127,11 @@ def _calibrate(args) -> dict:
     cfg = CRFStereoConfig(num_disp=args.labels, niters=args.niters,
                           backend="lattice")
     cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
-                             pieces=bool(args.pieces), tiled=bool(args.tiled))
+                             pieces=bool(args.pieces), tiled=bool(args.tiled),
+                             tile_px=args.tile_px)
     return {"max_vertices": cfg.max_vertices, "max_pieces": cfg.max_pieces,
-            "tile_px": cfg.tile_px, "tile_u": cfg.tile_u}
+            "tile_px": cfg.tile_px, "tile_u": cfg.tile_u,
+            "sort_mode": cfg.sort_mode}
 
 
 def _calib_main(args) -> int:
@@ -201,14 +213,22 @@ def _supervised_main(args) -> int:
         )
 
 
-def _suite_dense_ms(device_str: str) -> float | None:
-    """Committed dense-oracle pipeline time matching this device class."""
+def _suite_dense_ms(device_str: str, args) -> float | None:
+    """Committed dense-oracle pipeline time matching this device class AND
+    this problem shape — a vs_baseline against a mismatched-shape oracle
+    is meaningless, so shape mismatch returns None (vs_baseline omitted)."""
     try:
         with open(os.path.join(ROOT, "BENCH_SUITE.json")) as f:
             suite = json.load(f)
         entry = suite["tsukuba_dense"]
         same_class = ("TPU" in entry.get("device", "")) == ("TPU" in device_str)
-        if entry.get("metric") == "pipeline_ms" and same_class:
+        shape = (args.h, args.w, args.labels, args.niters)
+        if "h" in entry:
+            same_shape = shape == (entry["h"], entry["w"], entry["labels"],
+                                   entry["niters"])
+        else:  # legacy entry without shape fields: it was the default config
+            same_shape = shape == (288, 384, 16, 5)
+        if entry.get("metric") == "pipeline_ms" and same_class and same_shape:
             return float(entry["value"])
     except (OSError, ValueError, KeyError):
         pass
@@ -260,17 +280,21 @@ def main():
 
             cfg = calibrate_capacity(left, cfg, headroom=args.headroom,
                                      pieces=bool(args.pieces),
-                                     tiled=bool(args.tiled))
+                                     tiled=bool(args.tiled),
+                                     tile_px=args.tile_px)
             calib = {"max_vertices": cfg.max_vertices,
                      "max_pieces": cfg.max_pieces,
-                     "tile_px": cfg.tile_px, "tile_u": cfg.tile_u}
+                     "tile_px": cfg.tile_px, "tile_u": cfg.tile_u,
+                     "sort_mode": cfg.sort_mode}
     from dataclasses import replace
 
     cfg = replace(cfg, max_vertices=calib["max_vertices"],
                   max_pieces=calib["max_pieces"] if args.pieces else None,
                   tile_px=calib.get("tile_px") if args.tiled else None,
                   tile_u=calib.get("tile_u") or 512,
-                  tile_bf16=args.tiled == 2)
+                  tile_bf16=args.tiled == 2,
+                  sort_mode=args.sort_mode or calib.get("sort_mode", "auto"),
+                  unroll=bool(args.unroll))
 
     # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
     # `block_until_ready` returns without waiting for the device, so the
@@ -336,7 +360,7 @@ def main():
         vs_baseline = dtd / dt  # lattice speedup over exact dense oracle
         vs_source = "dense oracle measured live"
     else:
-        dense_ms = _suite_dense_ms(device_str)
+        dense_ms = _suite_dense_ms(device_str, args)
         if dense_ms is not None:
             vs_baseline = (dense_ms / 1e3) / dt
             vs_source = "dense oracle from committed BENCH_SUITE.json"
@@ -361,6 +385,8 @@ def main():
                     "order_by_sum": cfg.order_by_sum,
                     "tile_px": cfg.tile_px,
                     "tile_u": cfg.tile_u if cfg.tile_px else None,
+                    "sort_mode": cfg.sort_mode,
+                    "unroll": cfg.unroll,
                     "vs_baseline_source": vs_source,
                 },
             }

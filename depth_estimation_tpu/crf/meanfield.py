@@ -30,6 +30,7 @@ def mean_field_logits(
     message_fn: Callable[[jax.Array], jax.Array],
     compat_fn: Callable[[jax.Array], jax.Array],
     niters: int = 5,
+    unroll: bool | None = None,
 ) -> jax.Array:
     """Run mean-field iterations; return final logits (−E).
 
@@ -38,17 +39,33 @@ def mean_field_logits(
     `message_fn` is the pairwise W (pixel mixing); `compat_fn` applies the
     label compatibility Mu. They commute (different axes), matching both
     reference orderings (W@Q@Mu and W(Mu(Q))).
+
+    `unroll` (default: yes for niters ≤ 8): emit the iterations as straight-
+    line XLA instead of a `lax.scan`. A scanned iteration pays a measured
+    ~0.7 ms/iter scheduling gap on TPU over the identical unrolled update
+    (round-4 decomposition: 1.78 ms benched in-scan vs 1.08 ms isolated) —
+    the while-loop boundary blocks cross-iteration fusion and buffer reuse.
+    Compile time grows with niters, so long refinement loops keep the scan.
     """
-    Q0 = jax.nn.softmax(-E0, axis=-1)
-
-    def step(Q, _):
-        E = E0 + message_fn(compat_fn(Q))
-        return jax.nn.softmax(-E, axis=-1), -E
-
     if niters == 0:
         return -E0
-    _, logits = jax.lax.scan(step, Q0, None, length=niters)
-    return logits[-1]
+    if unroll is None:
+        unroll = niters <= 8
+    Q = jax.nn.softmax(-E0, axis=-1)
+    if unroll:
+        logits = -E0
+        for _ in range(niters):
+            logits = -(E0 + message_fn(compat_fn(Q)))
+            Q = jax.nn.softmax(logits, axis=-1)
+        return logits
+
+    def step(carry, _):
+        Q, _ = carry
+        E = E0 + message_fn(compat_fn(Q))
+        return (jax.nn.softmax(-E, axis=-1), -E), None
+
+    (_, logits), _ = jax.lax.scan(step, (Q, -E0), None, length=niters)
+    return logits
 
 
 def mean_field_infer(
@@ -56,6 +73,7 @@ def mean_field_infer(
     message_fn: Callable[[jax.Array], jax.Array],
     Mu: jax.Array | Callable[[jax.Array], jax.Array],
     niters: int = 10,
+    unroll: bool | None = None,
 ) -> jax.Array:
     """Reference-compatible API (`crf/crf_module.py:41-53`): returns label
     probabilities Q after `niters` iterations.
@@ -66,7 +84,7 @@ def mean_field_infer(
         compat_fn = Mu
     else:
         compat_fn = lambda Q: jnp.matmul(Q, Mu, preferred_element_type=Q.dtype)
-    logits = mean_field_logits(E0, message_fn, compat_fn, niters)
+    logits = mean_field_logits(E0, message_fn, compat_fn, niters, unroll)
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -76,6 +94,7 @@ def crf_as_rnn(
     compat_fn: Callable[[jax.Array], jax.Array],
     niters: int = 5,
     confidence: jax.Array | None = None,
+    unroll: bool | None = None,
 ) -> jax.Array:
     """Trainable CRF layer (`CRFasRNN.forward`, `crf/crf_module.py:93-104`).
 
@@ -87,4 +106,4 @@ def crf_as_rnn(
     Returns refined logits (..., L).
     """
     E0 = -logits if confidence is None else -logits * confidence
-    return mean_field_logits(E0, message_fn, compat_fn, niters)
+    return mean_field_logits(E0, message_fn, compat_fn, niters, unroll)

@@ -71,6 +71,17 @@ class CRFStereoConfig:
     tile_px: int | None = None
     tile_u: int = 512
     tile_bf16: bool = False
+    # plan-sort strategy: 'auto' = traced fit test (safe everywhere);
+    # 'packed1' (pinned by `calibrate_capacity` when the calibration
+    # frame's packed key fits int32 with neighbor-delta margin) takes the
+    # single-sort fast path unconditionally AND, with tile_px set, the
+    # lean per-tile batched plan build — also what lets `vmap`-batched
+    # serving stop paying for both `lax.cond` branches (round-5).
+    sort_mode: str = "auto"
+    # emit mean-field iterations as straight-line XLA instead of lax.scan
+    # (None = auto: unroll when niters ≤ 8). The scanned loop measured
+    # ~0.7 ms/iter of scheduling overhead on TPU v5e (round-4).
+    unroll: bool | None = None
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -117,7 +128,7 @@ def calibrate_capacity(
     from dataclasses import replace
 
     from ..ops.permutohedral import (suggest_capacity, suggest_pieces,
-                                     suggest_tile_u)
+                                     suggest_sort_mode, suggest_tile_u)
 
     if cfg.backend != "lattice":
         return cfg
@@ -126,6 +137,7 @@ def calibrate_capacity(
     guide = stack_guide(left, cfg.sigma_color, cfg.sigma_pos)
     ref = guide.reshape(-1, guide.shape[-1])
     cap = suggest_capacity(ref, headroom=headroom)
+    sort_mode = suggest_sort_mode(ref)
     pack = max(1, 128 // max(cfg.num_disp, 1))
     max_pieces = (
         suggest_pieces(ref, cap, pack=pack, headroom=1.5)
@@ -143,7 +155,8 @@ def calibrate_capacity(
         tu = suggest_tile_u(ref_blocked, B * B, cap)
         if h * w * tu * 4 <= max_incidence_bytes:
             tile_kw = {"tile_px": B, "tile_u": tu}
-    return replace(cfg, max_vertices=cap, max_pieces=max_pieces, **tile_kw)
+    return replace(cfg, max_vertices=cap, max_pieces=max_pieces,
+                   sort_mode=sort_mode, **tile_kw)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -211,7 +224,7 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
                        max_vertices=cap, max_pieces=cfg.max_pieces, pack=pack,
                        order_by_sum=cfg.order_by_sum,
                        tile=B * B if tiled else None, tile_u=cfg.tile_u,
-                       tile_bf16=cfg.tile_bf16)
+                       tile_bf16=cfg.tile_bf16, sort_mode=cfg.sort_mode)
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 
@@ -223,7 +236,7 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     else:
         raise ValueError(cfg.backend)
 
-    Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters)
+    Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters, cfg.unroll)
     logits = jnp.log(Q + 1e-20)
     if tiled:
         Qimg = _unblocked(Q)

@@ -74,19 +74,33 @@ def crf_rnn_apply(
     labels: jax.Array | None = None,
     subsample: int = 2,
     max_vertices: int | None = None,
+    tile_px: int | None = None,
+    tile_u: int = 512,
+    tile_bf16: bool = False,
+    sort_mode: str = "auto",
 ) -> jax.Array:
     """Refined logits (h, w, L) ← mean-field with trainable Mu and W.
 
     guide: (h, w, c) reference features. For the 'lattice' backend the
     guide is rescaled by the trainable [s_ij, s_rgb] and positions are
-    appended; the lattice plan is built once and reused over iterations.
+    appended; the lattice plan is built once and reused over iterations
+    AND across the fwd+bwd passes (it rides the custom-VJP residuals).
+
+    tile_px/tile_u/tile_bf16/sort_mode: the round-4/5 tiled MXU
+    splat/slice options (see `ops.permutohedral.build_plan`), reachable
+    from training so fwd+bwd+∂ref reuse one calibrated tiled plan —
+    pixels are block-reordered internally so the plan's consecutive-pixel
+    tiles are square image patches. Calibrate `tile_u` with extra
+    headroom when the guide scales are trainable: per-tile occupancy
+    moves as the scales train, and tile overflow soft-drops filter mass.
 
     max_vertices: static lattice capacity. Default pow2 ≥ 2n — SAFE for
     arbitrary trainable guide scales but ~16× over a natural image's
     measured occupancy, and the blur working set scales with it (round-4:
-    the flagship fwd+bwd train step dropped 891 → ~? ms with a measured
-    cap). Calibrate with `ops.permutohedral.suggest_capacity` on the
-    scaled guide and leave growth headroom for the scales to train.
+    the flagship fwd+bwd train step dropped 891 → 205 ms with a measured
+    cap — BENCH_SUITE.json trainable_step). Calibrate with
+    `ops.permutohedral.suggest_capacity` on the scaled guide and leave
+    growth headroom for the scales to train.
     """
     h, w, L = logits.shape
     compat_fn = lambda Q: charb_apply(params["mu"], Q, labels)
@@ -94,16 +108,40 @@ def crf_rnn_apply(
     if backend == "guided":
         message_fn = lambda Q: guided_adjacency_apply(params["w"], Q, guide, r, subsample)
     elif backend == "lattice":
-        ref = ijrgb_guide(params["w"], guide).reshape(h * w, -1)
+        ref_img = ijrgb_guide(params["w"], guide)  # (h, w, dk)
+        B = tile_px
+        tiled = B is not None and h % B == 0 and w % B == 0
+
+        def _blocked(x):  # (h, w, K) -> (h·w, K) in B×B image-block order
+            K = x.shape[-1]
+            return (
+                x.reshape(h // B, B, w // B, B, K)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h * w, K)
+            )
+
+        def _unblocked(flat):
+            K = flat.shape[-1]
+            return (
+                flat.reshape(h // B, w // B, B, B, K)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h, w, K)
+            )
+
+        ref = _blocked(ref_img) if tiled else ref_img.reshape(h * w, -1)
         cap = max_vertices or min(
             1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1)
         )
-        plan = build_plan(jax.lax.stop_gradient(ref), max_vertices=cap)
+        plan = build_plan(
+            jax.lax.stop_gradient(ref), max_vertices=cap,
+            tile=B * B if tiled else None, tile_u=tile_u,
+            tile_bf16=tile_bf16, sort_mode=sort_mode,
+        )
 
         def message_fn(Q):
-            flat = Q.reshape(h * w, L)
+            flat = _blocked(Q) if tiled else Q.reshape(h * w, L)
             out = lattice_filter_planned(flat, ref, plan) - flat
-            return out.reshape(h, w, L)
+            return _unblocked(out) if tiled else out.reshape(h, w, L)
 
     else:
         raise ValueError(backend)

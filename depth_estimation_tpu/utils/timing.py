@@ -59,7 +59,12 @@ def chain_timer(
 
     t1 = run(1)
     tn = run(reps)
-    return max(tn - t1, 1e-9) / (reps - 1)
+    if tn - t1 <= 0:
+        # differencing failed (timing noise ≥ the measured work): surface
+        # it as NaN — a clamped near-zero here turned into absurd
+        # frames/s at call sites like StereoServer.throughput (round-4)
+        return float("nan")
+    return (tn - t1) / (reps - 1)
 
 
 def scalarize(tree) -> "jax.Array":  # noqa: F821
@@ -120,4 +125,6 @@ def loop_timer(body: Callable, reps: int = 10, min_reps: int = 2) -> float:
     run(1)  # compile + warm up (one program: trip count is traced)
     t1 = run(1)
     tn = run(reps)
-    return max(tn - t1, 1e-9) / (reps - 1)
+    if tn - t1 <= 0:
+        return float("nan")  # see chain_timer: don't fake a tiny time
+    return (tn - t1) / (reps - 1)

@@ -473,3 +473,110 @@ def test_suggest_tile_u_covers_worst_tile(rng):
         partial(build_plan, max_vertices=1024, tile=64, tile_u=tu)
     )(ref)
     assert int(plan.tile_overflow) == 0  # headroom covers the worst tile
+
+
+# ---------------------------------------------------------------------------
+# Round-5 lean tiled build (sort_mode='packed1' + tile): per-tile batched
+# sorts over one widened-range packed key, packed-space neighbor join, no
+# entry CSR tables. Must be bit-identical to the general tiled path in the
+# no-overflow regime (same first-appearance vertex order).
+# ---------------------------------------------------------------------------
+
+
+def _smooth_ref(rng, h, w, d, scale=6.0, smooth=2):
+    g = rng.rand(h, w, d).astype(np.float32)
+    for _ in range(smooth):
+        g = 0.25 * (np.roll(g, 1, 0) + np.roll(g, -1, 0)
+                    + np.roll(g, 1, 1) + np.roll(g, -1, 1))
+    return jnp.asarray((g * scale).reshape(h * w, d))
+
+
+@pytest.mark.parametrize("d,P,U", [(5, 64, 384), (3, 32, 128), (2, 64, 192)])
+def test_lean_tiled_plan_matches_general(rng, d, P, U):
+    h, w, L = 24, 32, 8
+    ref = _smooth_ref(rng, h, w, d)
+    src = jnp.asarray(rng.randn(h * w, L).astype(np.float32))
+    C = 1024
+    kw = dict(max_vertices=C, tile=P, tile_u=U, order_by_sum=False)
+    gen = jax.jit(partial(build_plan, **kw))(ref)
+    lean = jax.jit(partial(build_plan, sort_mode="packed1", **kw))(ref)
+    assert lean.slot is None and lean.starts is None  # no entry CSR built
+    assert int(gen.tile_overflow) == 0 and int(lean.tile_overflow) == 0
+    assert int(gen.num_valid) == int(lean.num_valid)
+    np.testing.assert_array_equal(np.asarray(gen.tile_vid),
+                                  np.asarray(lean.tile_vid))
+    np.testing.assert_array_equal(np.asarray(gen.neighbors),
+                                  np.asarray(lean.neighbors))
+    np.testing.assert_array_equal(np.asarray(gen.partial_order),
+                                  np.asarray(lean.partial_order))
+    np.testing.assert_array_equal(np.asarray(gen.partial_starts),
+                                  np.asarray(lean.partial_starts))
+    np.testing.assert_allclose(np.asarray(gen.tile_A), np.asarray(lean.tile_A),
+                               atol=0)
+    o_gen = np.asarray(jax.jit(apply_plan)(gen, src))
+    o_lean = np.asarray(jax.jit(apply_plan)(lean, src))
+    np.testing.assert_allclose(o_lean, o_gen, rtol=1e-6, atol=1e-6)
+    r_gen = np.asarray(jax.jit(partial(apply_plan, reverse=True))(gen, src))
+    r_lean = np.asarray(jax.jit(partial(apply_plan, reverse=True))(lean, src))
+    np.testing.assert_allclose(r_lean, r_gen, rtol=1e-6, atol=1e-6)
+
+
+def test_lean_tiled_grads_match_general(rng):
+    h, w, d, L = 16, 16, 5, 4
+    ref = _smooth_ref(rng, h, w, d, scale=5.0, smooth=3)
+    src = jnp.asarray(rng.rand(h * w, L).astype(np.float32))
+    kw = dict(max_vertices=512, tile=64, tile_u=384, order_by_sum=False)
+
+    def loss(s, r, mode):
+        plan = build_plan(jax.lax.stop_gradient(r), sort_mode=mode, **kw)
+        return (lattice_filter_planned(s, r, plan) ** 2).sum()
+
+    g_gen = jax.jit(jax.grad(partial(loss, mode="auto"), argnums=(0, 1)))(src, ref)
+    g_lean = jax.jit(jax.grad(partial(loss, mode="packed1"), argnums=(0, 1)))(src, ref)
+    for a, b in zip(g_lean, g_gen):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_lean_tiled_overflow_soft_degrade(rng):
+    """Lean path: tiles over capacity drop entries (counted), never corrupt."""
+    from depth_estimation_tpu.ops.permutohedral import _splat
+
+    n, d, L = 256, 4, 8
+    ref = jnp.asarray(rng.randn(n, d).astype(np.float32))  # noise: dense
+    src = jnp.asarray(rng.rand(n, L).astype(np.float32))
+    tiny = jax.jit(partial(
+        build_plan, max_vertices=2048, tile=64, tile_u=16,
+        order_by_sum=False, sort_mode="packed1",
+    ))(ref)
+    assert int(tiny.tile_overflow) > 0
+    out = np.asarray(_splat(tiny, src))
+    assert np.isfinite(out).all()
+
+
+def test_sort_mode_pinned_matches_auto(rng):
+    """Pinned sort strategies produce the identical plan when they fit.
+
+    order_by_sum=False matches what `suggest_sort_mode` certifies: the
+    sum-prefix column (~the sum of all ranges) can push a guide that fits
+    'packed1' without it over the 31-bit budget — pinning is only valid
+    for the exact column set the calibration measured.
+    """
+    n, d = 400, 5
+    ref = jnp.asarray((rng.rand(n, d) * 8).astype(np.float32))
+    kw = dict(max_vertices=512, order_by_sum=False)
+    base = jax.jit(partial(build_plan, **kw))(ref)
+    for mode in ("packed1", "packed2", "lex"):
+        p = jax.jit(partial(build_plan, sort_mode=mode, **kw))(ref)
+        np.testing.assert_array_equal(np.asarray(p.slot), np.asarray(base.slot))
+        np.testing.assert_array_equal(np.asarray(p.neighbors),
+                                      np.asarray(base.neighbors))
+
+
+def test_suggest_sort_mode(rng):
+    from depth_estimation_tpu.ops.permutohedral import suggest_sort_mode
+
+    ref = jnp.asarray((rng.rand(200, 5) * 4).astype(np.float32))
+    assert suggest_sort_mode(ref) == "packed1"
+    wide = jnp.asarray((rng.rand(200, 5) * 3000).astype(np.float32))
+    assert suggest_sort_mode(wide) == "auto"

@@ -175,14 +175,12 @@ def _natural_pair(args, h, w, max_disp):
 
 
 def _lattice_cfg(cfg0, left):
-    """Tight measured lattice capacity, as bench.py does."""
-    from dataclasses import replace
-    from depth_estimation_tpu.crf.guides import stack_guide
-    from depth_estimation_tpu.ops.permutohedral import suggest_capacity
+    """Full host-side calibration, as bench.py does: tight measured
+    capacity + tiled MXU splat/slice (when the shape divides into blocks)
+    + pinned sort strategy."""
+    from depth_estimation_tpu.models.pipeline import calibrate_capacity
 
-    h, w, _ = left.shape
-    ref = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos).reshape(h * w, -1)
-    return replace(cfg0, max_vertices=suggest_capacity(ref, headroom=3.0))
+    return calibrate_capacity(left, cfg0, headroom=3.0, tiled=True)
 
 
 def run_config(name: str, args) -> dict:
@@ -203,7 +201,10 @@ def run_config(name: str, args) -> dict:
         dt = _timeit(fn, left, right, reps=args.reps)
         return {"config": name, "metric": "pipeline_ms", "value": dt * 1e3,
                 "unit": f"ms ({left.shape[0]}x{left.shape[1]}, L=16, dense O(n^2))",
-                "device": dev()}
+                # shape fields: bench.py refuses to compute vs_baseline
+                # against a mismatched-shape oracle (round-5)
+                "h": int(left.shape[0]), "w": int(left.shape[1]),
+                "labels": 16, "niters": 5, "device": dev()}
 
     if name == "middlebury64":
         h, w, L = ((96, 128, 16) if args.small else (994, 1482, 64))
@@ -238,16 +239,31 @@ def run_config(name: str, args) -> dict:
         # calibrated lattice capacity with generous (8x) headroom: the
         # trainable guide scales move occupancy during training, but the
         # pow2 >= 2n safe default is ~16x a natural image's occupancy and
-        # the blur working set scales with it (r4: 891 ms/step at 262144)
-        from depth_estimation_tpu.crf.guides import stack_guide as _sg
-        from depth_estimation_tpu.ops.permutohedral import suggest_capacity
+        # the blur working set scales with it (r4: 891 ms/step at 262144).
+        # Round-5: the tiled MXU splat/slice reaches training too — one
+        # calibrated tiled plan is reused across fwd + bwd + the 4-filter
+        # ∂ref pass, where the per-iteration win repays the plan cost
+        # most. tile_u gets 2x headroom (occupancy moves as scales train).
+        from depth_estimation_tpu.crf.guides import ijrgb_guide
+        from depth_estimation_tpu.ops.permutohedral import (
+            suggest_capacity, suggest_sort_mode, suggest_tile_u)
 
-        cap = suggest_capacity(
-            _sg(left, 0.1, 0.1).reshape(-1, 5), headroom=8.0)
+        g0 = ijrgb_guide(params["w"], left)  # (h, w, 5) at init scales
+        ref0 = g0.reshape(-1, g0.shape[-1])
+        cap = suggest_capacity(ref0, headroom=8.0)
+        tile_kw = {}
+        Bt = 32
+        if not args.small and h % Bt == 0 and w % Bt == 0:
+            refb = (g0.reshape(h // Bt, Bt, w // Bt, Bt, -1)
+                    .transpose(0, 2, 1, 3, 4).reshape(h * w, -1))
+            tu = suggest_tile_u(refb, Bt * Bt, cap, headroom=2.0)
+            tile_kw = dict(tile_px=Bt, tile_u=tu, tile_bf16=True,
+                           sort_mode=suggest_sort_mode(ref0))
 
         def loss_fn(p):
             logits = crf_rnn_apply(p, left, -E0, niters=cfg.niters,
-                                   backend="lattice", max_vertices=cap)
+                                   backend="lattice", max_vertices=cap,
+                                   **tile_kw)
             disp = (jax.nn.softmax(logits, -1)
                     @ jnp.arange(L, dtype=jnp.float32)).reshape(h, w)
             return jnp.sum(mask * (disp - gt) ** 2) / jnp.sum(mask)
@@ -300,12 +316,21 @@ def run_config(name: str, args) -> dict:
         rb = jnp.broadcast_to(right, (B,) + right.shape)
         cfg = _lattice_cfg(
             CRFStereoConfig(num_disp=16, niters=5, backend="lattice"), left)
-        server = StereoServer(cfg)
-        stats = server.throughput(lb, rb, reps=args.reps)
+        # A/B both batch modes: 'loop' dispatch-pipelines the single-frame
+        # program; 'vmap' is one whole-batch XLA program — viable since
+        # round-5's pinned sort_mode stopped vmap from paying for both
+        # lax.cond branches of the plan sorts. Report the faster.
+        stats = {}
+        for mode in ("vmap", "loop"):
+            server = StereoServer(cfg, batch_mode=mode, auto_capacity=False)
+            s = server.throughput(lb, rb, reps=args.reps)
+            stats[mode] = s["frames_per_s"]
+        best = max(stats, key=lambda k: (stats[k] == stats[k]) and stats[k])
         return {"config": name, "metric": "frames_per_s",
-                "value": stats["frames_per_s"],
+                "value": stats[best],
                 "unit": f"frames/s/chip (B={B}, {left.shape[0]}x{left.shape[1]}, "
-                        f"L=16, {server.batch_mode} batch mode)",
+                        f"L=16, {best} batch mode)",
+                "loop_fps": stats.get("loop"), "vmap_fps": stats.get("vmap"),
                 "device": dev()}
 
     raise SystemExit(f"unknown config {name!r}")
