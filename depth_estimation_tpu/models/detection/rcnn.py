@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.detection import clip_boxes, decode_boxes, nms, roi_align
+from ...ops.detection import (clip_boxes, decode_boxes, nms, roi_align,
+                              roi_align_pyramid)
 from .anchors import pyramid_anchors
 from .backbone import ResNetFPN
 
@@ -102,20 +103,17 @@ def fpn_level_for_boxes(boxes: jax.Array, k0: int = 4, k_min: int = 2, k_max: in
 
 
 def pyramid_roi_align(feats, boxes, output_size=(7, 7)):
-    """ROI-Align from the FPN level each box maps to. Fixed shape: computes
-    alignment against every level and selects — XLA-friendly, no dynamic
-    partitioning (vs the reference's per-level gather/re-scatter at
-    `collect_and_distribute_fpn_rpn_proposals.py`)."""
+    """ROI-Align from the FPN level each box maps to. Fixed shape, 1× work:
+    one flattened-pyramid bilinear gather per box at its assigned level
+    (`ops.detection.roi_align_pyramid`) — no dynamic partitioning (vs the
+    reference's per-level gather/re-scatter at
+    `collect_and_distribute_fpn_rpn_proposals.py`) and none of the 4×
+    compute of the earlier align-all-levels-then-select form (round-5)."""
     levels = fpn_level_for_boxes(boxes)  # values in [2, 5]
-    pooled = []
-    for i, f in enumerate(feats[:4]):  # P2..P5
-        scale = 1.0 / FPN_STRIDES[i]
-        pooled.append(roi_align(f[0], boxes, output_size, spatial_scale=scale))
-    pooled = jnp.stack(pooled)  # (4, R, ph, pw, c)
-    sel = levels - 2  # 0..3
-    return jnp.take_along_axis(
-        pooled, sel[None, :, None, None, None], axis=0
-    )[0]
+    return roi_align_pyramid(
+        [f[0] for f in feats[:4]], boxes, levels - 2, FPN_STRIDES[:4],
+        output_size,
+    )
 
 
 def perclass_detections(

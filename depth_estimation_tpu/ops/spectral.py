@@ -61,12 +61,17 @@ def laplacian_matvec(plan: PermutohedralPlan, degree: jax.Array, U: jax.Array,
     raise ValueError(normalize)
 
 
-def spectral_embedding(ref: jax.Array, k: int, niters: int = 100) -> jax.Array:
+def spectral_embedding(ref: jax.Array, k: int, niters: int = 100,
+                       guard: int = 2) -> jax.Array:
     """Smallest-k eigenvectors of the normalized lattice Laplacian.
 
     Args:
       ref: (n, d) features (pre-scaled by 1/σ).
       k: number of eigenvectors (includes the trivial ~constant one).
+      guard: extra eigenpairs solved and discarded — LOBPCG's trailing
+        block eigenpair converges an order of magnitude slower than the
+        interior ones (round-5 Rayleigh-residual gate:
+        tests/test_spectral.py), so the returned k stay sharp.
 
     Returns (n, k) eigenvector matrix.
     """
@@ -81,9 +86,11 @@ def spectral_embedding(ref: jax.Array, k: int, niters: int = 100) -> jax.Array:
         return 2.0 * U - laplacian_matvec(plan, degree, U, "sym")
 
     key = jax.random.PRNGKey(0)
-    X0 = jax.random.normal(key, (n, k), ref.dtype)
+    kk = min(k + guard, max(n // 2 - 1, k))
+    X0 = jax.random.normal(key, (n, kk), ref.dtype)
     theta, U, _ = lobpcg_standard(A, X0, m=niters)
-    return U
+    # lobpcg returns largest-θ first ⇒ smallest-λ of L first: keep k
+    return U[:, :k]
 
 
 def kmeans(X: jax.Array, k: int, niters: int = 20, seed: int = 0) -> jax.Array:

@@ -11,6 +11,15 @@ input, zero communication inside the solve.
 
 Matches `models.pipeline.crf_stereo_infer` on the interior to the halo
 truncation tolerance (gated by tests on the virtual mesh).
+
+Halo sizing (round-5 measurement, BENCH_SUITE.json
+`tiled_stereo_flagship_halo`, real Tsukuba at flagship σp=0.1): the
+bilateral position kernel couples ~σp·diag pixels (≈48 px at Tsukuba
+scale), so halos well below that DO change the solution (mean |Δdisp|
+0.37 at halo 8, 0.30 at 16) while quality-vs-GT stays within ~1.3 bad2
+points of untiled; halo ≈ σp·diag recovers untiled quality (bad2 5.80%
+vs 5.45% at halo 48, mean |Δdisp| 0.23). Pick halo ≥ σp·√(h²+w²) when
+cross-stripe parity matters; the default 16 favors throughput.
 """
 from __future__ import annotations
 

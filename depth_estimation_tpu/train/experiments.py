@@ -348,10 +348,10 @@ def train_detection_items(
     # mAP@0.5 (+ ROI-frame mask IoU when the mask branch trains) — over
     # `eval_items` when given (held-out protocol), else the training set
     # (the reference's in-domain shapes protocol).
-    from ..train.eval_detection import mask_mean_iou
+    from ..train.eval_detection import compute_keypoint_ap, mask_mean_iou
 
     infer = jax.jit(lambda p, im: model.apply(p, im, train=False))
-    aps, mious = [], []
+    aps, mious, kp_aps = [], [], []
     for item in eval_items if eval_items is not None else items:
         out = infer(params, jnp.asarray(item["image"], jnp.float32))
         valid = np.asarray(out["valid"])
@@ -367,9 +367,22 @@ def train_detection_items(
                     item["masks"], item["boxes"], item["classes"],
                 )
             )
+        if with_keypoints and "keypoints" in out and len(item["boxes"]):
+            gb = np.asarray(item["boxes"], np.float64)
+            areas = np.maximum(gb[:, 2] - gb[:, 0], 1.0) * np.maximum(
+                gb[:, 3] - gb[:, 1], 1.0
+            )
+            kp_aps.append(
+                compute_keypoint_ap(
+                    np.asarray(out["keypoints"])[valid], ps,
+                    np.asarray(item["keypoints"]), areas,
+                )["kp_ap50"]
+            )
     history["map50"] = float(np.mean(aps))
     if with_masks:
         history["mask_iou"] = float(np.mean(mious))
+    if kp_aps:
+        history["kp_ap50"] = float(np.mean(kp_aps))
     return params, history
 
 
@@ -577,11 +590,19 @@ def evaluate_detection(model, params, items, mesh=None, batch_size: int | None =
     matching is done host-side per image, and AP is averaged — no
     subprocess/pickle plumbing.
 
-    Returns {'map50': AP@0.5, 'map': mAP@[.5:.95]} averaged over items.
+    Returns {'map50': AP@0.5, 'map': mAP@[.5:.95]} averaged over items
+    (Mask-RCNN utils semantics), plus the dataset-level COCO-definition
+    metrics 'coco_map50'/'coco_map' (per-category, 101-point — what
+    pycocotools computes; `eval_detection.coco_map`) and, when the model
+    emits decoded keypoints and the items carry GT keypoints, OKS
+    keypoint AP 'kp_ap'/'kp_ap50'
+    (`mask-rcnn.pytorch/BENCHMARK.md:231-` metric).
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
-    from ..train.eval_detection import compute_ap, compute_map_range
+    from ..train.eval_detection import (coco_map, compute_ap,
+                                        compute_keypoint_ap,
+                                        compute_map_range)
 
     n = len(items)
     shard = mesh.shape["data"] if mesh is not None else 1
@@ -613,14 +634,36 @@ def evaluate_detection(model, params, items, mesh=None, batch_size: int | None =
             {k: np.asarray(v[j]) for k, v in out.items()} for j in range(keep)
         )
 
-    ap50s, aps = [], []
+    ap50s, aps, kp_aps, kp_ap50s = [], [], [], []
+    cpreds, cgts = [], []
     for item, out in zip(items, outs):
         valid = out["valid"].astype(bool)
         pb, pc, ps = out["boxes"][valid], out["classes"][valid], out["scores"][valid]
         ap, _, _ = compute_ap(pb, pc, ps, item["boxes"], item["classes"])
         ap50s.append(ap)
         aps.append(compute_map_range(pb, pc, ps, item["boxes"], item["classes"]))
-    return {"map50": float(np.mean(ap50s)), "map": float(np.mean(aps))}
+        cpreds.append({"boxes": pb, "classes": pc, "scores": ps})
+        cgts.append({"boxes": np.asarray(item["boxes"]),
+                     "classes": np.asarray(item["classes"])})
+        if "keypoints" in out and "keypoints" in item and len(item["boxes"]):
+            gb = np.asarray(item["boxes"], np.float64)
+            areas = np.maximum(gb[:, 2] - gb[:, 0], 1.0) * np.maximum(
+                gb[:, 3] - gb[:, 1], 1.0
+            )
+            r = compute_keypoint_ap(
+                out["keypoints"][valid], ps, np.asarray(item["keypoints"]),
+                areas,
+            )
+            kp_aps.append(r["kp_ap"])
+            kp_ap50s.append(r["kp_ap50"])
+    res = {"map50": float(np.mean(ap50s)), "map": float(np.mean(aps))}
+    cm = coco_map(cpreds, cgts)
+    res["coco_map"] = cm["map"]
+    res["coco_map50"] = cm["map50"]
+    if kp_aps:
+        res["kp_ap"] = float(np.mean(kp_aps))
+        res["kp_ap50"] = float(np.mean(kp_ap50s))
+    return res
 
 
 def train_uncertainty(

@@ -120,3 +120,27 @@ def test_roi_crop_constant_and_gradient_fields():
     out2 = np.asarray(roi_crop(ramp, jnp.asarray([[8.0, 8.0, 24.0, 24.0]]), (4, 4)))[0, 0, :, 0]
     want = 8.0 + (np.arange(4) + 0.5) * 4.0
     np.testing.assert_allclose(out2, want, rtol=1e-4)
+
+
+def test_roi_align_pyramid_matches_per_level():
+    """The flattened-pyramid single-gather form equals per-level
+    roi_align at each box's assigned level (round-5: replaces the 4x
+    align-all-then-select in pyramid_roi_align)."""
+    from depth_estimation_tpu.ops.detection import roi_align, roi_align_pyramid
+
+    rng = np.random.RandomState(3)
+    strides = (4, 8, 16, 32)
+    H = 64
+    feats = [jnp.asarray(rng.randn(H // s_, H // s_, 6).astype(np.float32))
+             for s_ in strides]
+    R = 12
+    boxes = np.sort(rng.rand(R, 2, 2) * H, axis=1).reshape(R, 4)[:, [0, 2, 1, 3]]
+    boxes[:, 2:] = np.maximum(boxes[:, 2:], boxes[:, :2] + 2.0)
+    boxes = jnp.asarray(boxes, jnp.float32)
+    levels = jnp.asarray(rng.randint(0, 4, R), jnp.int32)
+    got = roi_align_pyramid(feats, boxes, levels, strides, (7, 7))
+    for lv in range(4):
+        want = roi_align(feats[lv], boxes, (7, 7), spatial_scale=1.0 / strides[lv])
+        sel = np.asarray(levels) == lv
+        np.testing.assert_allclose(np.asarray(got)[sel], np.asarray(want)[sel],
+                                   rtol=1e-5, atol=1e-5)

@@ -132,3 +132,5 @@ def test_mask_and_keypoint_branches_train():
     # held-out eval ran and produced bounded metrics
     assert 0.0 <= hist["map50"] <= 1.0
     assert 0.0 <= hist["mask_iou"] <= 1.0
+    # round-5: the OKS keypoint metric is reported alongside
+    assert 0.0 <= hist["kp_ap50"] <= 1.0

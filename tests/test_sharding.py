@@ -162,3 +162,38 @@ def test_tiled_stereo_pipeline_matches_untiled(rng):
     diff = np.abs(tiled[8:-8] - untiled[8:-8])
     assert diff.mean() < 0.1, diff.mean()
     assert np.median(diff) < 0.02
+
+
+@pytest.mark.slow
+def test_tiled_stereo_flagship_halo_gate():
+    """Committed halo bound (BENCH_SUITE tiled_stereo_flagship_halo):
+    halo ~ sigma_p*diag (48 px at Tsukuba scale) keeps the 4-stripe tiled
+    pipeline within the untiled quality gates on the REAL pair."""
+    from depth_estimation_tpu.data.datasets import TsukubaPair
+    from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
+                                                      calibrate_capacity,
+                                                      crf_stereo_infer)
+    from depth_estimation_tpu.parallel.stereo_tiled import crf_stereo_infer_tiled
+    from depth_estimation_tpu.train.metrics import bad_pixel_ratio, epe
+
+    tsu = TsukubaPair()
+    if not tsu.available():
+        pytest.skip("Tsukuba pair not on disk")
+    item = tsu.load()
+    left = jnp.asarray(item["left"], jnp.float32)
+    right = jnp.asarray(item["right"], jnp.float32)
+    gt = jnp.asarray(item["disparity"], jnp.float32)
+    mask = (gt > 0).astype(jnp.float32)
+    cfg = calibrate_capacity(
+        left, CRFStereoConfig(num_disp=16, niters=5, backend="lattice"),
+        headroom=3.0, tiled=False)
+    un = crf_stereo_infer(left, right, cfg)["disparity"]
+    mesh = make_mesh(data=1, tile=4)
+    ti = jax.jit(
+        lambda l, r: crf_stereo_infer_tiled(l, r, cfg, mesh, halo=48)
+    )(left, right)
+    bad2_delta = abs(float(bad_pixel_ratio(ti, gt, 2.0, mask))
+                     - float(bad_pixel_ratio(un, gt, 2.0, mask)))
+    assert bad2_delta < 0.006, bad2_delta
+    assert float(jnp.abs(ti[8:-8] - un[8:-8]).mean()) < 0.26
+    assert abs(float(epe(ti, gt, mask)) - float(epe(un, gt, mask))) < 0.05

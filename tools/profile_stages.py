@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--order-by-sum", type=int, default=0, choices=(0, 1))
     ap.add_argument("--tiled", type=int, default=0, choices=(0, 1, 2),
                     help="tiled MXU splat/slice; 2 = bfloat16 blocks")
+    ap.add_argument("--tile-px", type=int, default=32,
+                    help="image-block edge for the tiled tables")
+    ap.add_argument("--tile-u", type=int, default=None,
+                    help="per-tile vertex capacity (default: 512 at 32px "
+                         "flagship, else calibrated)")
+    ap.add_argument("--sort-mode", default="auto",
+                    help="plan sort strategy (auto|packed1|packed2|lex)")
     ap.add_argument("--stages", default=None,
                     help="comma list to restrict (embed,plan,splat,blur,"
                          "slice,apply,costvolume,pipeline)")
@@ -106,14 +113,19 @@ def main():
         left = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
         right = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
 
+    B = args.tile_px
+    tile_u = args.tile_u
+    if tile_u is None:
+        tile_u = {8: 256, 16: 384, 32: 512}.get(B, 512) \
+            if (h, w) == (288, 384) else 512
     tile_kw = {}
     if args.tiled:
-        tile_kw = dict(tile_px=32, tile_u=512, tile_bf16=args.tiled == 2)
+        tile_kw = dict(tile_px=B, tile_u=tile_u, tile_bf16=args.tiled == 2)
     cfg0 = CRFStereoConfig(num_disp=L, niters=5, backend="lattice",
-                           order_by_sum=bool(args.order_by_sum), **tile_kw)
+                           order_by_sum=bool(args.order_by_sum),
+                           sort_mode=args.sort_mode, **tile_kw)
     guide_img = stack_guide(left, cfg0.sigma_color, cfg0.sigma_pos)
     if args.tiled:
-        B = 32
         ref = (guide_img.reshape(h // B, B, w // B, B, guide_img.shape[-1])
                .transpose(0, 2, 1, 3, 4).reshape(h * w, guide_img.shape[-1]))
     else:
@@ -134,6 +146,9 @@ def main():
 
     results = {"device": str(jax.devices()[0]), "capacity": int(cap),
                "max_pieces": max_pieces, "tiled": args.tiled,
+               "tile_px": B if args.tiled else None,
+               "tile_u": tile_u if args.tiled else None,
+               "sort_mode": args.sort_mode,
                "order_by_sum": bool(args.order_by_sum)}
 
     def timeit(body):
@@ -141,8 +156,9 @@ def main():
 
     bp = lambda r: P.build_plan(r, max_vertices=cap, max_pieces=max_pieces,
                                 pack=pack, order_by_sum=bool(args.order_by_sum),
-                                tile=32 * 32 if args.tiled else None,
-                                tile_u=512, tile_bf16=args.tiled == 2)
+                                tile=B * B if args.tiled else None,
+                                tile_u=tile_u, tile_bf16=args.tiled == 2,
+                                sort_mode=args.sort_mode)
     plan = jax.jit(bp)(ref)
     src = jnp.asarray(np.random.RandomState(1).rand(h * w, L), jnp.float32)
     vals = jax.jit(P._splat)(plan, src)
