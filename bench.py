@@ -74,6 +74,9 @@ def _argparser():
                     help="unroll mean-field iterations instead of lax.scan "
                          "(default 1 — the scanned loop measured ~0.7 "
                          "ms/iter of scheduling overhead, round-4/5)")
+    ap.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
+                    help="mean-field state dtype (bf16 halves per-pass "
+                         "traffic; quality-gated)")
     ap.add_argument("--sort-mode", default=None,
                     help="override the calibrated plan sort strategy "
                          "(auto|packed1|packed2|lex)")
@@ -294,7 +297,7 @@ def main():
                   tile_u=calib.get("tile_u") or 512,
                   tile_bf16=args.tiled == 2,
                   sort_mode=args.sort_mode or calib.get("sort_mode", "auto"),
-                  unroll=bool(args.unroll))
+                  unroll=bool(args.unroll), compute_dtype=args.dtype)
 
     # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
     # `block_until_ready` returns without waiting for the device, so the

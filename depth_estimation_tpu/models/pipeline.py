@@ -82,6 +82,12 @@ class CRFStereoConfig:
     # (None = auto: unroll when niters ≤ 8). The scanned loop measured
     # ~0.7 ms/iter of scheduling overhead on TPU v5e (round-4).
     unroll: bool | None = None
+    # mean-field state dtype: 'f32' (default) or 'bf16' — bf16 halves
+    # every (n, L) pass and the vertex table per iteration and doubles
+    # the MXU rate of the tiled splat/slice; energies/softmax stay
+    # well-conditioned (the fixed point self-corrects) and the decode
+    # casts back to f32 before the log. Quality gates decide per config.
+    compute_dtype: str = "f32"
 
 
 def stereo_unary(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig) -> jax.Array:
@@ -228,6 +234,13 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
             for m, R in enumerate(rotation_matrices(ref.shape[1], cfg.num_lattices))
         ]
 
+        # materialization fence: without it XLA may rematerialize plan
+        # tables (notably the (T, P, U) incidence build) into every
+        # mean-field iteration that consumes them — measured as the
+        # in-pipeline marginal iteration costing ~2.4 ms vs ~0.9 ms for
+        # the identical isolated update (round-5).
+        plans = jax.lax.optimization_barrier(plans)
+
         def message_fn(Q):
             out = sum(apply_plan(p, Q) for p in plans) / len(plans)
             return out - Q
@@ -236,7 +249,11 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     else:
         raise ValueError(cfg.backend)
 
+    if cfg.compute_dtype == "bf16":
+        E0_flat = E0_flat.astype(jnp.bfloat16)
+        Mu = Mu.astype(jnp.bfloat16)
     Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters, cfg.unroll)
+    Q = Q.astype(jnp.float32)
     logits = jnp.log(Q + 1e-20)
     if tiled:
         Qimg = _unblocked(Q)

@@ -137,6 +137,9 @@ def crf_rnn_apply(
             tile=B * B if tiled else None, tile_u=tile_u,
             tile_bf16=tile_bf16, sort_mode=sort_mode,
         )
+        # materialization fence — stops XLA rematerializing plan tables
+        # into every iteration/backward consumer (models/pipeline.py r5)
+        plan = jax.lax.optimization_barrier(plan)
 
         def message_fn(Q):
             flat = _blocked(Q) if tiled else Q.reshape(h * w, L)

@@ -80,6 +80,7 @@ def crf_stereo_infer_tiled(
         if cap is None:
             cap = min(1 << (2 * hh * ww - 1).bit_length(), hh * ww * (ref.shape[1] + 1))
         plan = build_plan(ref, max_vertices=cap)
+        plan = jax.lax.optimization_barrier(plan)  # no per-iter remat (r5)
         message_fn = lambda Q: apply_plan(plan, Q) - Q
 
         Q = mean_field_infer(E0.reshape(hh * ww, -1), message_fn, Mu, cfg.niters)

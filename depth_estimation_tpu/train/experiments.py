@@ -83,6 +83,7 @@ def trainable_crf_forward(
     ref = guide.reshape(h * w, -1)
     cap = min(1 << (2 * h * w - 1).bit_length(), h * w * (ref.shape[1] + 1))
     plan = build_plan(jax.lax.stop_gradient(ref), max_vertices=cap)
+    plan = jax.lax.optimization_barrier(plan)  # no per-iter remat (r5)
 
     def message_fn(Q):
         flat = Q.reshape(h * w, L)
