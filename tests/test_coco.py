@@ -162,3 +162,50 @@ def test_train_detection_coco_runs(coco_fixture):
     )
     assert len(hist["loss"]) == 2 and np.isfinite(hist["loss"]).all()
     assert hist["map50"] is not None
+
+
+def test_grouped_batch_sampler_groups_and_covers():
+    """Round-5 roi_data analog: batches never mix aspect groups, every
+    index appears each epoch, epochs reshuffle deterministically."""
+    from depth_estimation_tpu.data.loader import (GroupedBatchSampler,
+                                                  aspect_ratio_groups)
+
+    shapes = [(100, 200)] * 5 + [(200, 100)] * 7 + [(128, 128)] * 4
+    groups = aspect_ratio_groups(shapes)
+    assert len(set(groups[:5])) == 1 and len(set(groups[5:12])) == 1
+    assert groups[0] != groups[5]
+    s = GroupedBatchSampler(shapes, batch_size=4, seed=3)
+    seen = set()
+    for batch in s.epoch(0):
+        assert len(batch) == 4
+        assert len({groups[i] for i in batch}) == 1  # no group mixing
+        seen.update(batch)
+    assert seen == set(range(len(shapes)))  # full coverage
+    assert s.epoch(1) != s.epoch(0)  # reshuffles
+    assert s.epoch(1) == s.epoch(1)  # deterministic
+
+
+def test_collate_detection_batch_padding():
+    import numpy as np
+
+    from depth_estimation_tpu.data.loader import collate_detection_batch
+
+    rng = np.random.RandomState(0)
+    items = []
+    for h, w, g in ((60, 90, 2), (50, 80, 3)):
+        items.append({
+            "image": rng.rand(h, w, 3).astype(np.float32),
+            "boxes": rng.rand(g, 4).astype(np.float32) * 40,
+            "classes": rng.randint(1, 4, g),
+            "masks": (rng.rand(g, h, w) > 0.5).astype(np.float32),
+        })
+    out = collate_detection_batch(items)
+    H, W = out["pad_shape"]
+    assert H % 32 == 0 and W % 32 == 0 and H >= 60 and W >= 90
+    assert out["image"].shape == (2, H, W, 3)
+    assert out["gt_valid"].sum() == 5
+    # original pixels preserved; padding is the image mean
+    np.testing.assert_array_equal(out["image"][0, :60, :90], items[0]["image"])
+    assert np.allclose(out["image"][0, 60:, :],
+                       items[0]["image"].mean(axis=(0, 1)), atol=1e-6)
+    assert out["masks_padded"].shape == (2, 3, H, W)
