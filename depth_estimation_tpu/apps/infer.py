@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--sigma-pos", type=float, default=0.1)
     ap.add_argument("--backend", default="lattice", choices=["lattice", "dense"])
     ap.add_argument("--device", default=None)
+    ap.add_argument("--fast", action="store_true",
+                    help="calibrate this pair first (tight measured lattice "
+                         "capacity + tiled MXU splat/slice + pinned plan "
+                         "sort) — the serving-speed path; default is the "
+                         "safe uncalibrated config")
     args = ap.parse_args(argv)
 
     import jax
@@ -55,6 +60,10 @@ def main(argv=None):
         niters=args.iters,
         backend=args.backend,
     )
+    if args.fast:
+        from ..models.pipeline import calibrate_capacity
+
+        cfg = calibrate_capacity(left, cfg, headroom=3.0, tiled=True)
     out = crf_stereo_infer(left, right, cfg)
     disp = np.asarray(out["disparity"], np.float32)
 
