@@ -74,6 +74,8 @@ def _argparser():
                     help="unroll mean-field iterations instead of lax.scan "
                          "(default 1 — the scanned loop measured ~0.7 "
                          "ms/iter of scheduling overhead, round-4/5)")
+    ap.add_argument("--fused", type=int, default=0, choices=(0, 1),
+                    help="Pallas fused per-iteration elementwise update")
     ap.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
                     help="mean-field state dtype (bf16 halves per-pass "
                          "traffic; quality-gated)")
@@ -297,7 +299,8 @@ def main():
                   tile_u=calib.get("tile_u") or 512,
                   tile_bf16=args.tiled == 2,
                   sort_mode=args.sort_mode or calib.get("sort_mode", "auto"),
-                  unroll=bool(args.unroll), compute_dtype=args.dtype)
+                  unroll=bool(args.unroll), compute_dtype=args.dtype,
+                  fused_update=bool(args.fused))
 
     # Fetch-anchored in-jit loop timing (utils/timing.py): on this relay
     # `block_until_ready` returns without waiting for the device, so the
