@@ -156,15 +156,22 @@ def calibrate_capacity(
         else None
     )
     tile_kw = {}
-    if tiled and h % tile_px == 0 and w % tile_px == 0:
+    if tiled:
         B = tile_px
+        # odd shapes: the pipeline edge-pads to the next block multiple
+        # (and crops outputs back), so calibrate on the padded guide
+        hp, wp = h + (-h % B), w + (-w % B)
+        gp = guide
+        if (hp, wp) != (h, w):
+            gp = jnp.pad(guide, ((0, hp - h), (0, wp - w), (0, 0)),
+                         mode="edge")
         ref_blocked = (
-            guide.reshape(h // B, B, w // B, B, guide.shape[-1])
+            gp.reshape(hp // B, B, wp // B, B, gp.shape[-1])
             .transpose(0, 2, 1, 3, 4)
-            .reshape(h * w, guide.shape[-1])
+            .reshape(hp * wp, gp.shape[-1])
         )
         tu = suggest_tile_u(ref_blocked, B * B, cap)
-        if h * w * tu * 4 <= max_incidence_bytes:
+        if hp * wp * tu * 4 <= max_incidence_bytes:
             tile_kw = {"tile_px": B, "tile_u": tu}
     return replace(cfg, max_vertices=cap, max_pieces=max_pieces,
                    sort_mode=sort_mode, **tile_kw)
@@ -178,6 +185,17 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     mean-field iterations (filter is inference-only here; training goes
     through `models.refiner`).
     """
+    h0, w0, _ = left.shape
+    # tiled mode needs block-divisible dims; edge-pad odd shapes up to the
+    # next multiple and crop every output back — the few extra edge rows
+    # cost far less than losing the tiled MXU splat/slice (round-5:
+    # middlebury 994×1482 was falling back to the entry-wise path).
+    B = cfg.tile_px
+    pad_h = (-h0 % B) if (cfg.backend == "lattice" and B) else 0
+    pad_w = (-w0 % B) if (cfg.backend == "lattice" and B) else 0
+    if pad_h or pad_w:
+        left = jnp.pad(left, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+        right = jnp.pad(right, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     h, w, _ = left.shape
     E0 = stereo_unary(left, right, cfg)
 
@@ -191,7 +209,6 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
     # plan's consecutive-pixel tiles are square image patches (small
     # per-tile vertex sets). Elementwise/mean-field math is order-
     # agnostic; only the final reshape undoes the permutation.
-    B = cfg.tile_px
     tiled = (
         cfg.backend == "lattice"
         and B is not None
@@ -285,8 +302,8 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         disp_crf = expected_disparity(logits).reshape(h, w)
     disp_unary = expected_disparity(-E0)
     return {
-        "disparity": disp_crf,
-        "disparity_unary": disp_unary,
-        "probabilities": Qimg,
-        "unary": E0,
+        "disparity": disp_crf[:h0, :w0],
+        "disparity_unary": disp_unary[:h0, :w0],
+        "probabilities": Qimg[:h0, :w0],
+        "unary": E0[:h0, :w0],
     }

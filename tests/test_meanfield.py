@@ -89,12 +89,13 @@ def test_compatibility_matrix_charbonnier():
 
 def test_calibrate_capacity_tiled_sets_and_guards():
     """calibrate_capacity(tiled=True) sizes tile_u from measured per-tile
-    occupancy when the image divides into blocks, and skips tiling when
-    it doesn't."""
+    occupancy; odd shapes calibrate on the edge-padded guide (round-5:
+    the pipeline pads to the block multiple and crops outputs)."""
     import numpy as np
 
     from depth_estimation_tpu.models.pipeline import (CRFStereoConfig,
-                                                      calibrate_capacity)
+                                                      calibrate_capacity,
+                                                      crf_stereo_infer)
 
     rng = np.random.RandomState(0)
     img = rng.rand(64, 96, 3).astype(np.float32)
@@ -105,7 +106,11 @@ def test_calibrate_capacity_tiled_sets_and_guards():
     odd = calibrate_capacity(
         img[:50], CRFStereoConfig(num_disp=8), tiled=True, tile_px=32
     )
-    assert odd.tile_px is None  # 50 % 32 != 0 -> tiling skipped
+    assert odd.tile_px == 32  # 50 % 32 != 0 -> padded tiling, not skipped
+    out = crf_stereo_infer(
+        jnp.asarray(img[:50]), jnp.asarray(img[:50]), odd
+    )
+    assert out["disparity"].shape == (50, 96)  # outputs cropped back
 
 
 def test_crf_stereo_infer_tiled_matches_untiled():
