@@ -291,7 +291,14 @@ def crf_stereo_infer(left: jax.Array, right: jax.Array, cfg: CRFStereoConfig):
         Q = jax.nn.softmax(-E, axis=-1).astype(jnp.float32)
         logits = (-E).astype(jnp.float32)
     else:
-        Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters, cfg.unroll)
+        # auto-unroll: straight-line iterations beat lax.scan by ~0.7
+        # ms/iter (round-4/5) but keep more (n, L) buffers live — at
+        # fullres128 scale (2M px × 128 labels ≈ 1 GB per state) the
+        # unrolled program OOMed 16 GB HBM, so big states keep the scan.
+        unroll = cfg.unroll
+        if unroll is None:
+            unroll = cfg.niters <= 8 and h * w * cfg.num_disp <= (1 << 27)
+        Q = mean_field_infer(E0_flat, message_fn, Mu, cfg.niters, unroll)
         Q = Q.astype(jnp.float32)
         logits = jnp.log(Q + 1e-20)
     if tiled:

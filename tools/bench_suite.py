@@ -176,11 +176,16 @@ def _natural_pair(args, h, w, max_disp):
 
 def _lattice_cfg(cfg0, left):
     """Full host-side calibration, as bench.py does: tight measured
-    capacity + tiled MXU splat/slice (when the shape divides into blocks)
-    + pinned sort strategy."""
+    capacity + tiled MXU splat/slice (odd shapes edge-pad into blocks)
+    + pinned sort strategy. Incidence blocks run bf16 (r4 default), so
+    the table budget is 2 GB real = 4 GB in the f32-denominated check."""
+    from dataclasses import replace
+
     from depth_estimation_tpu.models.pipeline import calibrate_capacity
 
-    return calibrate_capacity(left, cfg0, headroom=3.0, tiled=True)
+    cfg = calibrate_capacity(left, cfg0, headroom=3.0, tiled=True,
+                             max_incidence_bytes=4 << 30)
+    return replace(cfg, tile_bf16=cfg.tile_px is not None)
 
 
 def run_config(name: str, args) -> dict:
