@@ -38,7 +38,10 @@ def _kernel(e0_ref, s_ref, c_ref, mu_ref, e_ref, cn_ref):
     ex = jnp.exp(-E - m)
     q = ex / jnp.sum(ex, axis=1, keepdims=True)
     e_ref[:] = E
-    cn_ref[:] = jnp.dot(q, mu_ref[:], preferred_element_type=E.dtype)
+    # Mosaic requires a 32-bit matmul accumulator (bf16 acc is rejected
+    # at verification); accumulate f32 and cast to the output dtype
+    cn = jnp.dot(q, mu_ref[:], preferred_element_type=jnp.float32)
+    cn_ref[:] = cn.astype(cn_ref.dtype)
 
 
 def fused_energy_update_reference(E0, S, C, Mu):
