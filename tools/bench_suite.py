@@ -117,22 +117,46 @@ def _argparser():
 
 def _timeit(fn, *xs, reps: int):
     """Per-call seconds of jitted `fn(*xs)` — fetch-anchored in-jit loop
-    (utils/timing.loop_timer): block_until_ready does not wait on this
-    container's TPU relay, so the reps run as one fori_loop chain where
-    the first float input is jittered by the accumulator and all outputs
-    fold into the fetched scalar."""
+    (utils/timing.loop_timer semantics): block_until_ready does not wait
+    on this container's TPU relay, so the reps run as one fori_loop chain
+    where the first float input is jittered by the accumulator and all
+    outputs fold into the fetched scalar.
+
+    The operands are passed as REAL jit arguments, not closed over:
+    captured arrays become XLA constant literals, and at fullres128 scale
+    the compiler materialized dozens of 24 MB copies of the constant
+    input (one per fused consumer) straight into an HBM OOM (round-5)."""
+    import time
+
+    import jax
     import jax.numpy as jnp
 
-    from depth_estimation_tpu.utils.timing import jitter, loop_timer, scalarize
+    from depth_estimation_tpu.utils.timing import jitter, scalarize
 
     ij = next(i for i, x in enumerate(xs)
               if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating))
 
-    def body(a):
-        args = [jitter(x, a) if i == ij else x for i, x in enumerate(xs)]
-        return a + scalarize(fn(*args))
+    @jax.jit
+    def chain(n, a, *ops):
+        def body(i, aa):
+            args = [jitter(x, aa) if k == ij else x
+                    for k, x in enumerate(ops)]
+            return aa + scalarize(fn(*args))
 
-    return loop_timer(body, reps=reps)
+        return jax.lax.fori_loop(0, n, body, a)
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(chain(jnp.int32(n), jnp.float32(0.0), *xs))
+        return time.perf_counter() - t0
+
+    reps = max(int(reps), 2)
+    run(1)  # compile + warm up (trip count is traced: one program)
+    t1 = run(1)
+    tn = run(reps)
+    if tn - t1 <= 0:
+        return float("nan")
+    return (tn - t1) / (reps - 1)
 
 
 def _tsukuba(args):
