@@ -74,11 +74,14 @@ def _argparser():
                     help="unroll mean-field iterations instead of lax.scan "
                          "(default 1 — the scanned loop measured ~0.7 "
                          "ms/iter of scheduling overhead, round-4/5)")
-    ap.add_argument("--fused", type=int, default=0, choices=(0, 1),
-                    help="Pallas fused per-iteration elementwise update")
-    ap.add_argument("--dtype", default="f32", choices=("f32", "bf16"),
-                    help="mean-field state dtype (bf16 halves per-pass "
-                         "traffic; quality-gated)")
+    ap.add_argument("--fused", type=int, default=1, choices=(0, 1),
+                    help="Pallas fused per-iteration elementwise update "
+                         "(default 1 — r5 A/B: 393.2 iters/s combined "
+                         "with bf16 vs 373.2 without)")
+    ap.add_argument("--dtype", default="bf16", choices=("f32", "bf16"),
+                    help="mean-field state dtype (default bf16: halves "
+                         "per-pass traffic; real-Tsukuba quality gate "
+                         "EPE 0.7555/bad2 5.46 vs f32 0.7554/5.40)")
     ap.add_argument("--sort-mode", default=None,
                     help="override the calibrated plan sort strategy "
                          "(auto|packed1|packed2|lex)")
