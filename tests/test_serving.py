@@ -51,3 +51,17 @@ def test_data_parallel_serving_matches(batch):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
     stats = sharded.throughput(lefts, rights, reps=2)
     assert stats["frames_per_s"] > 0 and stats["devices"] == 8
+
+
+def test_vmap_batch_mode_matches_loop(batch):
+    """The one-program vmapped batch (the mesh-shardable form, round-5:
+    pinned sort_mode makes it viable) reproduces the loop-mode results
+    under the same calibrated config — including the lean tiled plan
+    build mapped over the batch."""
+    lefts, rights = batch
+    cfg = CRFStereoConfig(num_disp=8, niters=2)
+    s_loop = StereoServer(cfg)  # auto-calibrates on the first call
+    out_loop = np.asarray(s_loop(lefts, rights))
+    s_vmap = StereoServer(s_loop.cfg, batch_mode="vmap", auto_capacity=False)
+    out_vmap = np.asarray(s_vmap(lefts, rights))
+    np.testing.assert_allclose(out_vmap, out_loop, rtol=1e-4, atol=1e-5)
